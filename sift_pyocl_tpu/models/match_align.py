@@ -1,0 +1,148 @@
+"""MatchPlan and LinearAlign public APIs.
+
+API parity with the reference's matcher and aligner
+(reference: sift-src/match.py::MatchPlan, sift-src/alignment.py::LinearAlign —
+SURVEY.md §2.1/§3.3/§3.4).  `LinearAlign` is also the seed of the SfM
+front-end: keypoints -> matches -> robust model fit -> warp.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SiftConfig
+from ..oracle import KP_DTYPE
+from ..ops.match import match_descriptors_jax
+from ..ops.transform import affine_warp_jax
+from .sift import SiftPlan
+
+
+class MatchPlan:
+    """Brute-force descriptor matcher (reference: match.py::MatchPlan).
+
+    The reference pre-allocates buffers of `size` keypoints; here sizes are
+    taken from the inputs (XLA compiles per distinct size; pad upstream for a
+    stable size).  `match` returns an (M, 2) structured array of matched
+    keypoint record pairs, like the reference.
+    """
+
+    def __init__(self, size: int = 16384, devicetype: str = "TPU",
+                 ratio_th: float = 0.5329, metric: str = "L1", **_ignored):
+        self.size = size
+        self.ratio_th = float(ratio_th)
+        self.metric = metric
+
+    def match_index(self, kp1: np.ndarray, kp2: np.ndarray) -> np.ndarray:
+        """(M, 2) int32 indices of matches between two KP_DTYPE arrays."""
+        if len(kp1) == 0 or len(kp2) == 0:
+            return np.zeros((0, 2), dtype=np.int32)
+        res = match_descriptors_jax(
+            jnp.asarray(kp1["desc"]),
+            jnp.ones(len(kp1), dtype=bool),
+            jnp.asarray(kp2["desc"]),
+            jnp.ones(len(kp2), dtype=bool),
+            metric=self.metric,
+            ratio_sq=self.ratio_th,
+        )
+        m = np.asarray(res.valid)
+        return np.stack(
+            [np.asarray(res.idx1)[m], np.asarray(res.idx2)[m]], axis=1
+        ).astype(np.int32)
+
+    def match(self, kp1: np.ndarray, kp2: np.ndarray) -> np.ndarray:
+        idx = self.match_index(kp1, kp2)
+        out = np.zeros((len(idx), 2), dtype=KP_DTYPE)
+        if len(idx):
+            out[:, 0] = kp1[idx[:, 0]]
+            out[:, 1] = kp2[idx[:, 1]]
+        return out
+
+    __call__ = match
+
+
+def fit_affine(dst: np.ndarray, src: np.ndarray):
+    """Least-squares affine fit: dst ≈ matrix @ src + offset.
+
+    (reference: alignment.py CPU lstsq step, SURVEY.md §3.4.)
+    dst/src are (N, 2) arrays of (row, col).
+    """
+    n = len(dst)
+    A = np.zeros((2 * n, 6), dtype=np.float64)
+    b = np.zeros(2 * n, dtype=np.float64)
+    A[0::2, 0] = src[:, 0]
+    A[0::2, 1] = src[:, 1]
+    A[0::2, 4] = 1.0
+    A[1::2, 2] = src[:, 0]
+    A[1::2, 3] = src[:, 1]
+    A[1::2, 5] = 1.0
+    b[0::2] = dst[:, 0]
+    b[1::2] = dst[:, 1]
+    sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+    matrix = np.array([[sol[0], sol[1]], [sol[2], sol[3]]])
+    offset = np.array([sol[4], sol[5]])
+    return matrix, offset
+
+
+class LinearAlign:
+    """Align images to a reference image (reference: alignment.py::LinearAlign).
+
+    Pipeline: SIFT keypoints on the reference at init; per `align(img)` call:
+    keypoints -> ratio-test matches -> (shift-only mean or affine lstsq) ->
+    bilinear warp on device.
+    """
+
+    def __init__(self, image: np.ndarray, config: Optional[SiftConfig] = None,
+                 devicetype: str = "TPU", **_ignored):
+        self.ref_image = np.asarray(image)
+        self.shape = self.ref_image.shape[:2]
+        self.cfg = config or SiftConfig()
+        self.sift = SiftPlan(shape=self.shape, config=self.cfg)
+        self.match_plan = MatchPlan()
+        self.ref_kp = self.sift.keypoints(self.ref_image)
+
+    def align(
+        self,
+        img: np.ndarray,
+        shift_only: bool = False,
+        return_all: bool = False,
+        relative: bool = False,
+        double_check: bool = False,
+        orsa: bool = False,
+    ):
+        """Warp `img` onto the reference frame.  Returns the warped image, or
+        a dict with (result, matrix, offset, matches) when return_all."""
+        kp = self.sift.keypoints(np.asarray(img))
+        idx = self.match_plan.match_index(self.ref_kp, kp)
+        if len(idx) < (1 if shift_only else 3):
+            return None
+        p_ref = np.stack(
+            [self.ref_kp["y"][idx[:, 0]], self.ref_kp["x"][idx[:, 0]]], axis=1
+        )
+        p_img = np.stack([kp["y"][idx[:, 1]], kp["x"][idx[:, 1]]], axis=1)
+        # the warp samples img at M @ (ref coords) + offset, so fit the
+        # ref -> img mapping: p_img ≈ M @ p_ref + offset
+        if shift_only:
+            matrix = np.eye(2)
+            # median, not mean: a single bad ratio-test match otherwise drags
+            # the shift (deliberate robustness improvement over the reference)
+            offset = np.median(p_img - p_ref, axis=0)
+        else:
+            matrix, offset = fit_affine(p_img, p_ref)
+        warped = np.asarray(
+            affine_warp_jax(
+                jnp.asarray(img, dtype=jnp.float32),
+                jnp.asarray(matrix),
+                jnp.asarray(offset),
+            )
+        )
+        if return_all:
+            return {
+                "result": warped,
+                "matrix": matrix,
+                "offset": offset,
+                "matches": idx,
+            }
+        return warped

@@ -1,0 +1,165 @@
+"""End-to-end SIFT pipeline and the `SiftPlan` public API.
+
+TPU-native re-architecture of the reference's plan engine
+(reference: sift-src/plan.py::SiftPlan — SURVEY.md §2.1/§3.1-3.2).  The
+reference pre-allocates device buffers and pre-compiles OpenCL kernels per
+image shape, then runs `keypoints(img)` repeatedly at low overhead; here the
+same compile-once idiom is `jax.jit` of one fused program per (shape, dtype,
+config): pyramid -> detection -> orientation -> descriptor, all octaves
+unrolled at trace time with static shapes and static-capacity keypoint
+buffers (no atomics, no per-scale host syncs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SiftConfig
+from ..oracle import KP_DTYPE
+from ..ops.detect import detect_octave
+from ..ops.orient_desc import assign_orientations, compute_descriptors, gradient_planes
+from ..ops.pyramid import build_scale_space_jax
+
+
+class KeypointBuffer(NamedTuple):
+    """Fixed-capacity keypoint output (the functional analog of the
+    reference's keypoint recarray, with a validity mask instead of a count)."""
+
+    x: jnp.ndarray        # (cap,) f32 column in input-image coords
+    y: jnp.ndarray        # (cap,) f32 row in input-image coords
+    scale: jnp.ndarray    # (cap,) f32 absolute sigma in input-image coords
+    angle: jnp.ndarray    # (cap,) f32 in (-pi, pi]
+    desc: jnp.ndarray     # (cap, 128) uint8
+    valid: jnp.ndarray    # (cap,) bool
+    counts: jnp.ndarray   # (n_octaves, 2) int32 true (extrema, oriented) counts
+
+
+def octave_capacities(shape: Tuple[int, int], cfg: SiftConfig) -> List[Tuple[int, int]]:
+    """(candidate_cap, descriptor_cap) per octave, shrinking with resolution."""
+    h, w = shape
+    if cfg.double_im_size:
+        h, w = 2 * h, 2 * w
+    caps = []
+    for _ in range(cfg.n_octaves(shape)):
+        cap = int(min(cfg.kp_per_octave_cap, max(h * w // cfg.pix_per_kp, 64)))
+        cap = (cap + 63) // 64 * 64
+        dcap = cap + cap // 2
+        caps.append((cap, dcap))
+        h, w = h // 2, w // 2
+    return caps
+
+
+def detect_and_describe(img: jnp.ndarray, cfg: SiftConfig) -> KeypointBuffer:
+    """The full forward pass (reference: SiftPlan.keypoints, SURVEY.md §3.2)."""
+    shape = img.shape[:2]
+    octaves = build_scale_space_jax(img, cfg)
+    caps = octave_capacities(shape, cfg)
+    xs, ys, scales_, angles, descs, valids, counts = [], [], [], [], [], [], []
+    octsize = 0.5 if cfg.double_im_size else 1.0
+    for o, (blurs, dogs) in enumerate(octaves):
+        cap, dcap = caps[o]
+        kps = detect_octave(dogs, cfg, o, cap)
+        mags, oris = gradient_planes(blurs, cfg)
+        okps = assign_orientations(mags, oris, kps, cfg, dcap)
+        desc = compute_descriptors(mags, oris, okps, cfg)
+        sigma_oct = cfg.init_sigma * 2.0 ** (okps.fs / cfg.scales)
+        xs.append(okps.fc * octsize)
+        ys.append(okps.fr * octsize)
+        scales_.append(sigma_oct * octsize)
+        angles.append(okps.angle)
+        descs.append(desc)
+        valids.append(okps.valid)
+        extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
+        counts.append(jnp.stack([extrema_count, okps.count]))
+        octsize *= 2.0
+    return KeypointBuffer(
+        x=jnp.concatenate(xs),
+        y=jnp.concatenate(ys),
+        scale=jnp.concatenate(scales_),
+        angle=jnp.concatenate(angles),
+        desc=jnp.concatenate(descs),
+        valid=jnp.concatenate(valids),
+        counts=jnp.stack(counts),
+    )
+
+
+class SiftPlan:
+    """Compile-once SIFT plan (API parity with sift-src/plan.py::SiftPlan).
+
+    >>> plan = SiftPlan(shape=(512, 512), dtype="float32")
+    >>> kp = plan.keypoints(img)     # structured array, KP_DTYPE records
+
+    `devicetype` is accepted for signature parity but ignored: JAX owns device
+    placement (SURVEY.md §2.1, opencl.py row — "mostly free on TPU").
+    """
+
+    def __init__(
+        self,
+        shape: Optional[Tuple[int, int]] = None,
+        dtype="float32",
+        template: Optional[np.ndarray] = None,
+        config: Optional[SiftConfig] = None,
+        devicetype: str = "TPU",
+        PIX_PER_KP: Optional[int] = None,
+        init_sigma: Optional[float] = None,
+        **_ignored,
+    ):
+        if template is not None:
+            shape = template.shape[:2]
+            dtype = template.dtype
+        if shape is None:
+            raise ValueError("provide shape=(h, w) or template=image")
+        cfg = config or SiftConfig()
+        overrides = {}
+        if PIX_PER_KP is not None:
+            overrides["pix_per_kp"] = PIX_PER_KP
+        if init_sigma is not None:
+            overrides["init_sigma"] = init_sigma
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self.cfg = cfg
+        self._fn = jax.jit(partial(detect_and_describe, cfg=cfg))
+
+    def compile(self) -> "SiftPlan":
+        """Force ahead-of-time compilation (the reference does this in __init__)."""
+        dummy = jnp.zeros(self.shape, dtype=jnp.float32)
+        self._fn.lower(dummy).compile()
+        return self
+
+    def keypoints_raw(self, image) -> KeypointBuffer:
+        """Device-resident fixed-capacity result (for fused downstream use)."""
+        img = jnp.asarray(image)
+        if img.shape[:2] != self.shape:
+            raise ValueError(f"image shape {img.shape[:2]} != plan shape {self.shape}")
+        return self._fn(img)
+
+    def keypoints(self, image) -> np.ndarray:
+        """Host-side structured keypoint array (reference output format)."""
+        buf = jax.device_get(self.keypoints_raw(image))
+        m = buf.valid
+        n = int(m.sum())
+        out = np.zeros(n, dtype=KP_DTYPE)
+        out["x"] = buf.x[m]
+        out["y"] = buf.y[m]
+        out["scale"] = buf.scale[m]
+        out["angle"] = buf.angle[m]
+        out["desc"] = buf.desc[m]
+        return out
+
+    __call__ = keypoints
+
+    def log_profile(self):
+        """Parity shim for the reference's event-profiling report
+        (reference: plan.py::log_profile).  Under XLA there is one fused
+        program; use utils.profiling.stage_times for a per-stage breakdown."""
+        from ..utils.profiling import stage_times
+
+        return stage_times(self)

@@ -1,0 +1,129 @@
+"""Brute-force descriptor matching as tiled on-device reductions.
+
+TPU-native replacement for the reference's matching kernels
+(reference: openCL/matching_cpu.cl / matching_gpu.cl::matching and
+sift-src/match.py::MatchPlan — SURVEY.md §2.2/§3.3).  The reference scans
+set2 once per set1 keypoint inside a workgroup, appending passing pairs with
+atomics; here the all-pairs distance matrix is computed in static tiles with a
+`lax.scan` keeping a running (best, second-best) per query row — no atomics,
+one fused jit program.
+
+Two distance modes:
+  * "L1"  — parity mode, the reference metric: sum |a-b| on uint8 descriptors,
+    computed on the VPU in int32 tiles.
+  * "L2"  — fast mode: squared euclidean via ||a||^2+||b||^2-2ab, the 2ab term
+    a single (N1,128)x(128,N2) matmul on the MXU.  Ranking differs from L1
+    only in rare near-tie cases.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+INT_MAX = np.int32(2**31 - 1)
+
+
+class MatchResult(NamedTuple):
+    idx1: jnp.ndarray    # (cap,) int32 indices into set 1
+    idx2: jnp.ndarray    # (cap,) int32 indices into set 2
+    dist: jnp.ndarray    # (cap,) f32 best distance
+    valid: jnp.ndarray   # (cap,) bool
+    count: jnp.ndarray   # () int32 true number of matches
+
+
+def _best2_l1(desc1: jnp.ndarray, desc2: jnp.ndarray, valid2: jnp.ndarray,
+              tile: int = 512):
+    """Running (best, second-best, argbest) of L1 distances per row of desc1."""
+    n1 = desc1.shape[0]
+    n2 = desc2.shape[0]
+    pad2 = (-n2) % tile
+    d2p = jnp.pad(desc2, ((0, pad2), (0, 0)))
+    v2p = jnp.pad(valid2, (0, pad2))
+    n_tiles = d2p.shape[0] // tile
+    a = desc1.astype(jnp.int32)
+
+    def step(carry, t):
+        d1, d2, i1 = carry
+        b = lax.dynamic_slice(d2p, (t * tile, 0), (tile, 128)).astype(jnp.int32)
+        vb = lax.dynamic_slice(v2p, (t * tile,), (tile,))
+        dist = jnp.sum(jnp.abs(a[:, None, :] - b[None, :, :]), axis=-1)  # (n1, tile)
+        dist = jnp.where(vb[None, :], dist, INT_MAX)
+        m1 = jnp.min(dist, axis=1)
+        am1 = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        dist2 = jnp.where(
+            jax.nn.one_hot(am1, tile, dtype=jnp.bool_), INT_MAX, dist
+        )
+        m2 = jnp.min(dist2, axis=1)
+        gi = t * tile + am1
+        better = m1 < d1
+        nd2 = jnp.where(better, jnp.minimum(d1, m2), jnp.minimum(d2, m1))
+        nd1 = jnp.where(better, m1, d1)
+        ni1 = jnp.where(better, gi, i1)
+        return (nd1, nd2, ni1), None
+
+    init = (
+        jnp.full((n1,), INT_MAX, jnp.int32),
+        jnp.full((n1,), INT_MAX, jnp.int32),
+        jnp.zeros((n1,), jnp.int32),
+    )
+    (d1, d2, i1), _ = lax.scan(step, init, jnp.arange(n_tiles))
+    return d1.astype(jnp.float32), d2.astype(jnp.float32), i1
+
+
+def _best2_l2(desc1: jnp.ndarray, desc2: jnp.ndarray, valid2: jnp.ndarray):
+    """(best, second-best, argbest) of squared-L2 distances via one matmul."""
+    a = desc1.astype(jnp.float32)
+    b = desc2.astype(jnp.float32)
+    ab = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    na = jnp.sum(a * a, axis=1)
+    nb = jnp.sum(b * b, axis=1)
+    dist = na[:, None] + nb[None, :] - 2.0 * ab
+    dist = jnp.where(valid2[None, :], jnp.maximum(dist, 0.0), jnp.inf)
+    neg, idx = lax.top_k(-dist, 2)
+    return -neg[:, 0], -neg[:, 1], idx[:, 0].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("metric", "ratio_sq"))
+def match_descriptors_jax(
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    metric: str = "L1",
+    ratio_sq: float = 0.5329,
+) -> MatchResult:
+    """Ratio-test matching into a static-capacity pair buffer.
+
+    Semantics follow oracle.match_descriptors: for each valid row of desc1,
+    the two smallest distances d1<=d2 among valid rows of desc2; keep if
+    d2 > 0 and d1 < ratio_sq * d2.  Capacity = len(desc1) (each query yields
+    at most one match, so this never overflows).
+    """
+    if metric == "L1":
+        d1, d2, i1 = _best2_l1(desc1, desc2, valid2)
+    elif metric == "L2":
+        d1, d2, i1 = _best2_l2(desc1, desc2, valid2)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    finite = d2 < jnp.float32(INT_MAX)  # at least two valid candidates
+    keep = valid1 & finite & (d2 > 0) & (d1 < ratio_sq * d2)
+    cap = desc1.shape[0]
+    count = jnp.sum(keep.astype(jnp.int32))
+    (sel,) = jnp.nonzero(keep, size=cap, fill_value=-1)
+    valid = sel >= 0
+    sel = jnp.maximum(sel, 0)
+    return MatchResult(
+        idx1=sel.astype(jnp.int32),
+        idx2=i1[sel],
+        dist=d1[sel],
+        valid=valid,
+        count=count,
+    )

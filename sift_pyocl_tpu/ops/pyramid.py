@@ -1,0 +1,129 @@
+"""Gaussian scale-space pyramid as XLA ops.
+
+TPU-native replacement for the reference's separable-convolution kernels and
+octave loop (reference: openCL/convolution.cl::{horizontal,vertical}_convolution,
+openCL/gaussian.cl, openCL/preprocess.cl::shrink, algebra.cl::combine, and the
+blur ladder in sift-src/plan.py::_one_octave — see SURVEY.md §2.2/§3.2).
+
+Design notes (TPU-first):
+  * Gaussian taps are computed at trace time with NumPy (sigmas are static
+    config), so XLA sees constant filter weights — the reference's on-device
+    tap generation kernel is unnecessary.
+  * Convolution is expressed as two 1-D `lax.conv_general_dilated` calls with
+    clamp-to-edge padding; XLA maps these onto the MXU/VPU and fuses the
+    elementwise DoG subtraction.  A fused Pallas pyramid kernel is layered on
+    top in ops/pallas/ for the hot path.
+  * All shapes are static; octave downsampling is a stride-2 slice.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import SiftConfig
+from ..oracle import gaussian_kernel
+
+
+def normalize_image_jax(img: jnp.ndarray) -> jnp.ndarray:
+    """f32 grayscale normalized to [0,255] (oracle.normalize_image)."""
+    if img.ndim == 3:
+        img = (
+            img[..., :3].astype(jnp.float32)
+            @ jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+        )
+    img = img.astype(jnp.float32)
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    scale = jnp.where(hi > lo, 255.0 / (hi - lo), 0.0)
+    return (img - lo) * scale
+
+
+def conv1d_clamp_jax(img: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
+    """1-D correlation along `axis` with clamp-to-edge borders (f32)."""
+    half = (len(taps) - 1) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (half, half)
+    padded = jnp.pad(img, pad, mode="edge")
+    k = jnp.asarray(taps, dtype=jnp.float32)
+    if axis == 1:
+        kern = k.reshape(1, 1, 1, -1)  # OIHW
+    else:
+        kern = k.reshape(1, 1, -1, 1)
+    out = lax.conv_general_dilated(
+        padded[None, None, :, :],
+        kern,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # full f32: the MXU's default bf16 passes cost ~0.5% error, which is
+        # far above the DoG peak threshold scale and breaks oracle parity
+        precision=lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+def blur_jax(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur with clamped borders (oracle.blur)."""
+    taps = gaussian_kernel(sigma)
+    return conv1d_clamp_jax(conv1d_clamp_jax(img, taps, axis=1), taps, axis=0)
+
+
+def upscale2_jax(img: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upscale (oracle.upscale2), used by DoubleImSize."""
+    h, w = img.shape
+    ys = jnp.arange(2 * h, dtype=jnp.float32) / 2.0
+    xs = jnp.arange(2 * w, dtype=jnp.float32) / 2.0
+    y0 = jnp.minimum(ys.astype(jnp.int32), h - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x0 = jnp.minimum(xs.astype(jnp.int32), w - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    return (
+        img[jnp.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + img[jnp.ix_(y1, x0)] * fy * (1 - fx)
+        + img[jnp.ix_(y0, x1)] * (1 - fy) * fx
+        + img[jnp.ix_(y1, x1)] * fy * fx
+    ).astype(jnp.float32)
+
+
+def prepare_input_jax(img: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """Normalize, optionally double, pre-blur to init_sigma (oracle.prepare_input)."""
+    data = normalize_image_jax(img)
+    cur_sigma = cfg.orig_sigma
+    if cfg.double_im_size:
+        data = upscale2_jax(data)
+        cur_sigma *= 2.0
+    if cfg.init_sigma > cur_sigma:
+        data = blur_jax(data, float(np.sqrt(cfg.init_sigma**2 - cur_sigma**2)))
+    return data
+
+
+def build_octave_jax(
+    base: jnp.ndarray, cfg: SiftConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One octave: blur stack (S+3,H,W) and DoG stack (S+2,H,W)."""
+    blurs = [base]
+    for inc in cfg.sigma_increments():
+        blurs.append(blur_jax(blurs[-1], inc))
+    stack = jnp.stack(blurs)
+    dogs = stack[1:] - stack[:-1]
+    return stack, dogs
+
+
+def build_scale_space_jax(
+    img: jnp.ndarray, cfg: SiftConfig
+) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """All octaves as a Python-unrolled (trace-time) list of static shapes."""
+    base = prepare_input_jax(img, cfg)
+    octaves = []
+    for _ in range(cfg.n_octaves(img.shape[:2])):
+        blurs, dogs = build_octave_jax(base, cfg)
+        octaves.append((blurs, dogs))
+        base = blurs[cfg.scales, ::2, ::2]
+    return octaves

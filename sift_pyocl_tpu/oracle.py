@@ -486,9 +486,12 @@ def affine_warp(
     """Bilinear inverse-warp: out[r,c] = img[M@(r,c)+offset], fill outside."""
     H, W = img.shape
     rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    src = np.tensordot(matrix, np.stack([rr, cc]).astype(np.float64), axes=(1, 0))
-    sr = src[0] + offset[0]
-    sc = src[1] + offset[1]
+    # f32 coordinate math, matching the TPU kernel exactly
+    src = np.tensordot(
+        matrix.astype(np.float32), np.stack([rr, cc]).astype(np.float32), axes=(1, 0)
+    )
+    sr = (src[0] + np.float32(offset[0])).astype(np.float32)
+    sc = (src[1] + np.float32(offset[1])).astype(np.float32)
     r0 = np.floor(sr).astype(int)
     c0 = np.floor(sc).astype(int)
     fr = (sr - r0).astype(np.float32)

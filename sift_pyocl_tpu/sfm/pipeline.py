@@ -1,0 +1,276 @@
+"""Incremental SfM over an image sequence (BASELINE.json config 4:
+two-view init + sequential registration + pose graph + bundle adjustment).
+
+Host-orchestrated over jitted kernels: the SIFT frontend, matcher, RANSAC,
+PnP and BA all run on device with static shapes; the host keeps the growing
+map (points, descriptors, observation table) in NumPy and pads device inputs
+to power-of-two buckets so jit recompiles O(log) times as the map grows.
+
+New subsystem — no reference counterpart (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SiftConfig
+from ..models.sift import SiftPlan
+from ..ops.match import match_descriptors_jax
+from .ba import BAObs, BAParams, run_ba
+from .geometry import pose_compose
+from .pnp import ransac_pnp
+from .twoview import initialize_two_view
+
+
+def _pow2_pad(n: int, floor: int = 256) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclass
+class SfMResult:
+    Rs: np.ndarray                 # (F,3,3) world-to-camera
+    ts: np.ndarray                 # (F,3)
+    points: np.ndarray             # (P,3)
+    n_obs: int
+    frames_registered: List[int] = field(default_factory=list)
+
+
+class IncrementalSfM:
+    """Sequential SfM: bootstrap pair -> PnP registration -> triangulate new
+    points -> periodic + final BA."""
+
+    def __init__(
+        self,
+        K: np.ndarray,
+        frame_shape,
+        cfg: Optional[SiftConfig] = None,
+        min_boot_flow_px: float = 8.0,
+        min_matches: int = 30,
+        reproj_px: float = 3.0,
+        ba_every: int = 8,
+        seed: int = 0,
+    ):
+        self.K = np.asarray(K, np.float32)
+        self.cfg = cfg or SiftConfig()
+        self.sift = SiftPlan(shape=frame_shape, config=self.cfg)
+        self.min_boot_flow = min_boot_flow_px
+        self.min_matches = min_matches
+        self.reproj_px = reproj_px
+        self.ba_every = ba_every
+        self.key = jax.random.key(seed)
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _match(self, d1, d2):
+        """Padded-bucket descriptor matching; returns (M,2) int indices."""
+        n1, n2 = len(d1), len(d2)
+        if n1 == 0 or n2 == 0:
+            return np.zeros((0, 2), np.int32)
+        p1, p2 = _pow2_pad(n1), _pow2_pad(n2)
+        d1p = np.zeros((p1, 128), np.uint8)
+        d1p[:n1] = d1
+        d2p = np.zeros((p2, 128), np.uint8)
+        d2p[:n2] = d2
+        v1 = np.arange(p1) < n1
+        v2 = np.arange(p2) < n2
+        res = match_descriptors_jax(
+            jnp.asarray(d1p), jnp.asarray(v1), jnp.asarray(d2p), jnp.asarray(v2)
+        )
+        m = np.asarray(res.valid)
+        return np.stack([np.asarray(res.idx1)[m], np.asarray(res.idx2)[m]], 1)
+
+    def run(self, frames, verbose: bool = False) -> Optional[SfMResult]:
+        F = len(frames)
+        kps = [self.sift.keypoints(np.asarray(f)) for f in frames]
+        K = jnp.asarray(self.K)
+
+        # --- bootstrap: frame 0 against the first frame with enough flow ---
+        boot = None
+        for b in range(1, F):
+            m = self._match(kps[0]["desc"], kps[b]["desc"])
+            if len(m) < self.min_matches:
+                continue
+            uv0 = np.stack([kps[0]["x"][m[:, 0]], kps[0]["y"][m[:, 0]]], 1)
+            uvb = np.stack([kps[b]["x"][m[:, 1]], kps[b]["y"][m[:, 1]]], 1)
+            flow = np.median(np.linalg.norm(uvb - uv0, axis=1))
+            if flow < self.min_boot_flow:
+                continue
+            n = _pow2_pad(len(m))
+            uv0p = np.zeros((n, 2), np.float32)
+            uv0p[: len(m)] = uv0
+            uvbp = np.zeros((n, 2), np.float32)
+            uvbp[: len(m)] = uvb
+            vp = np.arange(n) < len(m)
+            init = initialize_two_view(
+                self._next_key(), K, jnp.asarray(uv0p), jnp.asarray(uvbp),
+                jnp.asarray(vp), thresh_px=self.reproj_px,
+            )
+            if int(init.n_inliers) >= self.min_matches:
+                boot = (b, m, uv0, uvb, init)
+                break
+        if boot is None:
+            return None
+        b, m, uv0, uvb, init = boot
+        if verbose:
+            print(f"bootstrap: frames (0, {b}), {int(init.n_inliers)} inliers")
+
+        # --- map state (host) ---
+        inl = np.asarray(init.inliers)[: len(m)]
+        map_X = np.asarray(init.points)[: len(m)][inl].astype(np.float32)
+        map_desc = kps[0]["desc"][m[inl, 0]]
+        obs_cam, obs_pt, obs_uv = [], [], []
+        for pi, (i0, ib) in enumerate(m[inl]):
+            obs_cam += [0, 1]
+            obs_pt += [pi, pi]
+            obs_uv += [
+                [kps[0]["x"][i0], kps[0]["y"][i0]],
+                [kps[b]["x"][ib], kps[b]["y"][ib]],
+            ]
+        cam_of_frame = {0: 0, b: 1}
+        Rs = [np.eye(3, dtype=np.float32), np.asarray(init.R, np.float32)]
+        ts = [np.zeros(3, np.float32), np.asarray(init.t, np.float32)]
+        frames_reg = [0, b]
+
+        # --- sequential registration of the remaining frames ---
+        order = [f for f in range(1, F) if f != b]
+        order = [f for f in order if f > b] + [f for f in order if f < b]
+        for f in sorted(set(order)):
+            mm = self._match(map_desc, kps[f]["desc"])
+            if len(mm) < 12:
+                if verbose:
+                    print(f"frame {f}: only {len(mm)} map matches, skipped")
+                continue
+            n = _pow2_pad(len(mm))
+            Xp = np.zeros((n, 3), np.float32)
+            Xp[: len(mm)] = map_X[mm[:, 0]]
+            uvp = np.zeros((n, 2), np.float32)
+            uvp[: len(mm)] = np.stack(
+                [kps[f]["x"][mm[:, 1]], kps[f]["y"][mm[:, 1]]], 1
+            )
+            wp = (np.arange(n) < len(mm)).astype(np.float32)
+            R0, t0 = Rs[-1], ts[-1]  # previous registered pose as init
+            R, t, inl_f, n_inl = ransac_pnp(
+                self._next_key(), K, jnp.asarray(R0), jnp.asarray(t0),
+                jnp.asarray(Xp), jnp.asarray(uvp), jnp.asarray(wp),
+                thresh_px=self.reproj_px,
+            )
+            if int(n_inl) < 10:
+                if verbose:
+                    print(f"frame {f}: PnP failed ({int(n_inl)} inliers)")
+                continue
+            cam_id = len(Rs)
+            cam_of_frame[f] = cam_id
+            Rs.append(np.asarray(R, np.float32))
+            ts.append(np.asarray(t, np.float32))
+            frames_reg.append(f)
+            inl_np = np.asarray(inl_f)[: len(mm)]
+            for k_, (pi, ki) in enumerate(mm):
+                if inl_np[k_]:
+                    obs_cam.append(cam_id)
+                    obs_pt.append(int(pi))
+                    obs_uv.append([kps[f]["x"][ki], kps[f]["y"][ki]])
+
+            # triangulate new points vs the previous registered frame
+            prev_f = frames_reg[-2]
+            self._triangulate_new(
+                kps, f, prev_f, cam_of_frame, Rs, ts, mm,
+                map_X, map_desc, obs_cam, obs_pt, obs_uv,
+            )
+            map_X, map_desc = self._map_arrays
+
+            # periodic BA
+            if len(Rs) % self.ba_every == 0:
+                Rs, ts, map_X = self._run_ba(Rs, ts, map_X, obs_cam, obs_pt, obs_uv)
+                self._map_arrays = (map_X, map_desc)
+            if verbose:
+                print(f"frame {f}: cam {cam_id}, {int(n_inl)} PnP inliers, map {len(map_X)}")
+
+        # --- final global BA ---
+        Rs, ts, map_X = self._run_ba(Rs, ts, map_X, obs_cam, obs_pt, obs_uv, iters=25)
+        return SfMResult(
+            Rs=np.stack(Rs), ts=np.stack(ts), points=map_X,
+            n_obs=len(obs_cam), frames_registered=frames_reg,
+        )
+
+    # -- helpers -------------------------------------------------------------
+
+    def _triangulate_new(self, kps, f, prev_f, cam_of_frame, Rs, ts, mm,
+                         map_X, map_desc, obs_cam, obs_pt, obs_uv):
+        """Add map points from f<->prev_f matches not already in the map."""
+        from .geometry import triangulate_two_view
+
+        m = self._match(kps[prev_f]["desc"], kps[f]["desc"])
+        used_f = set(mm[:, 1].tolist())
+        fresh = [(i, j) for i, j in m if j not in used_f]
+        if len(fresh) < 5:
+            self._map_arrays = (map_X, map_desc)
+            return
+        fresh = np.array(fresh, np.int32)
+        ca, cb = cam_of_frame[prev_f], cam_of_frame[f]
+        uva = np.stack([kps[prev_f]["x"][fresh[:, 0]], kps[prev_f]["y"][fresh[:, 0]]], 1)
+        uvb = np.stack([kps[f]["x"][fresh[:, 1]], kps[f]["y"][fresh[:, 1]]], 1)
+        K = jnp.asarray(self.K)
+        X, z1, z2 = triangulate_two_view(
+            K, jnp.asarray(Rs[ca]), jnp.asarray(ts[ca]),
+            K, jnp.asarray(Rs[cb]), jnp.asarray(ts[cb]),
+            jnp.asarray(uva.astype(np.float32)), jnp.asarray(uvb.astype(np.float32)),
+        )
+        from .geometry import project
+
+        pa, _ = project(K, jnp.asarray(Rs[ca]), jnp.asarray(ts[ca]), X)
+        pb, _ = project(K, jnp.asarray(Rs[cb]), jnp.asarray(ts[cb]), X)
+        ea = np.linalg.norm(np.asarray(pa) - uva, axis=1)
+        eb = np.linalg.norm(np.asarray(pb) - uvb, axis=1)
+        ok = (np.asarray(z1) > 1e-3) & (np.asarray(z2) > 1e-3)
+        ok &= (ea < self.reproj_px) & (eb < self.reproj_px)
+        Xn = np.asarray(X)[ok]
+        base = len(map_X)
+        if len(Xn):
+            map_X = np.concatenate([map_X, Xn.astype(np.float32)])
+            map_desc = np.concatenate([map_desc, kps[f]["desc"][fresh[ok, 1]]])
+            for k_, (i, j) in enumerate(fresh[ok]):
+                obs_cam += [ca, cb]
+                obs_pt += [base + k_, base + k_]
+                obs_uv += [
+                    [kps[prev_f]["x"][i], kps[prev_f]["y"][i]],
+                    [kps[f]["x"][j], kps[f]["y"][j]],
+                ]
+        self._map_arrays = (map_X, map_desc)
+
+    def _run_ba(self, Rs, ts, map_X, obs_cam, obs_pt, obs_uv, iters: int = 12):
+        C = len(Rs)
+        P = len(map_X)
+        M = len(obs_cam)
+        Mp = _pow2_pad(M)
+        Pp = _pow2_pad(P)
+        uv = np.zeros((Mp, 2), np.float32)
+        uv[:M] = np.asarray(obs_uv, np.float32)
+        cam = np.zeros(Mp, np.int32)
+        cam[:M] = obs_cam
+        pt = np.zeros(Mp, np.int32)
+        pt[:M] = obs_pt
+        w = np.zeros(Mp, np.float32)
+        w[:M] = 1.0
+        Xp = np.zeros((Pp, 3), np.float32)
+        Xp[:P] = map_X
+        params = BAParams(
+            jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts)), jnp.asarray(Xp)
+        )
+        obs = BAObs(jnp.asarray(uv), jnp.asarray(cam), jnp.asarray(pt), jnp.asarray(w))
+        params, _ = run_ba(
+            params, obs, jnp.asarray(self.K), fixed_cams=(0,), iters=iters,
+            huber_px=self.reproj_px,
+        )
+        Rs = [np.asarray(params.Rs[i]) for i in range(C)]
+        ts = [np.asarray(params.ts[i]) for i in range(C)]
+        return Rs, ts, np.asarray(params.X[:P])

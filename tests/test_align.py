@@ -1,0 +1,32 @@
+"""LinearAlign end-to-end (reference: test/test_align.py — known-transform
+round trip)."""
+
+import numpy as np
+
+from sift_pyocl_tpu import LinearAlign
+from sift_pyocl_tpu.utils.testimage import transformed_pair
+
+
+def test_align_recovers_translation(small_cfg):
+    ref, img = transformed_pair((128, 128), seed=2, dx=6, dy=-4)
+    la = LinearAlign(ref, config=small_cfg)
+    out = la.align(img, return_all=True)
+    assert out is not None and len(out["matches"]) >= 5
+    # ref->img mapping: ~identity matrix, offset ~(-dy, -dx) in (row, col)
+    np.testing.assert_allclose(out["matrix"], np.eye(2), atol=0.02)
+    np.testing.assert_allclose(out["offset"], [4.0, -6.0], atol=0.3)
+    # warped image should overlay the reference away from borders
+    interior = (slice(16, -16), slice(16, -16))
+    err = np.abs(out["result"][interior] - ref[interior])
+    assert np.median(err) < 2.0
+
+
+def test_align_shift_only(small_cfg):
+    ref, img = transformed_pair((128, 128), seed=4, dx=3, dy=2)
+    la = LinearAlign(ref, config=small_cfg)
+    out = la.align(img, shift_only=True, return_all=True)
+    assert out is not None
+    np.testing.assert_allclose(out["offset"], [-2.0, -3.0], atol=0.3)
+    interior = (slice(16, -16), slice(16, -16))
+    err = np.abs(out["result"][interior] - ref[interior])
+    assert np.median(err) < 2.0

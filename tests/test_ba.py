@@ -1,0 +1,78 @@
+"""Bundle adjustment tests: single-device and 8-way sharded (BASELINE
+configs 4-5 at test scale; distributed path runs on the virtual CPU mesh per
+SURVEY.md §4's multi-host test strategy)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sift_pyocl_tpu.sfm.ba import BAObs, BAParams, residuals, run_ba
+from sift_pyocl_tpu.sfm.distributed import DistributedBA, merge_points, partition_problem
+from sift_pyocl_tpu.sfm.evaluate import ate_rmse, camera_centers
+from sift_pyocl_tpu.sfm.synthetic import make_problem, perturb
+
+
+@pytest.fixture(scope="module")
+def problem():
+    K, gt, obs, meta = make_problem(n_cams=6, n_points=120, noise_px=0.4, seed=0)
+    start = perturb(gt, rot_deg=2.0, trans=0.12, point_sigma=0.08, seed=1, keep_fixed=(0,))
+    return K, gt, start, obs
+
+
+def _rms(params, obs, K):
+    r = np.asarray(residuals(
+        BAParams(*map(jnp.asarray, params)), BAObs(*map(jnp.asarray, obs)), jnp.asarray(K)
+    ))
+    return float(np.sqrt((r**2).sum(1)).mean())
+
+
+def test_ba_converges(problem):
+    K, gt, start, obs = problem
+    assert _rms(start, obs, K) > 5.0
+    params, costs = run_ba(
+        BAParams(*map(jnp.asarray, start)), BAObs(*map(jnp.asarray, obs)),
+        jnp.asarray(K), fixed_cams=(0,), iters=25,
+    )
+    assert _rms(params, obs, K) < 0.8  # ~noise floor (0.4 px/axis)
+    assert costs[-1] < 0.05 * costs[0]
+    ate = ate_rmse(
+        camera_centers(np.asarray(params.Rs), np.asarray(params.ts)),
+        camera_centers(gt.Rs, gt.ts),
+    )
+    assert ate < 0.02
+
+
+def test_partition_roundtrip(problem):
+    K, gt, start, obs = problem
+    sp = partition_problem(BAParams(*map(jnp.asarray, start)),
+                           BAObs(*map(jnp.asarray, obs)), 8)
+    # every original (valid) observation appears exactly once across shards
+    assert int((sp.w > 0).sum()) == len(obs.cam)
+    X = merge_points(sp, sp.X, start.X.shape[0])
+    np.testing.assert_allclose(X, start.X, atol=0)
+    # local point ids within range
+    for k in range(8):
+        assert sp.pt_local[k].max() < sp.pt_rng[k, 1] or sp.pt_rng[k, 1] == 0
+
+
+def test_distributed_ba_matches_single(problem):
+    K, gt, start, obs = problem
+    dba = DistributedBA()
+    assert dba.mesh.devices.size == 8  # virtual CPU mesh from conftest
+    params_d, costs_d = dba.run(
+        start, obs, K, fixed_cams=(0,), iters=15,
+    )
+    params_s, costs_s = run_ba(
+        BAParams(*map(jnp.asarray, start)), BAObs(*map(jnp.asarray, obs)),
+        jnp.asarray(K), fixed_cams=(0,), iters=15,
+    )
+    assert _rms(params_d, obs, K) < 0.8
+    # sharded and single-device solvers agree (same math, reduction order aside)
+    np.testing.assert_allclose(costs_d[0], costs_s[0], rtol=1e-5)
+    assert abs(costs_d[-1] - costs_s[-1]) / costs_s[-1] < 0.05
+    ate = ate_rmse(
+        camera_centers(np.asarray(params_d.Rs), np.asarray(params_d.ts)),
+        camera_centers(gt.Rs, gt.ts),
+    )
+    assert ate < 0.02

@@ -1,0 +1,89 @@
+"""Matching ops vs the oracle (reference: test/test_matching.py — SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sift_pyocl_tpu import MatchPlan
+from sift_pyocl_tpu.oracle import KP_DTYPE, match_descriptors, sift_numpy
+from sift_pyocl_tpu.ops.match import match_descriptors_jax
+from sift_pyocl_tpu.utils.testimage import transformed_pair
+
+
+@pytest.fixture(scope="module")
+def desc_pair():
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 90, (80, 128), dtype=np.uint8)
+    noisy = np.clip(base.astype(int) + rng.integers(-3, 4, base.shape), 0, 255)
+    # shuffle second set so index mapping is nontrivial
+    perm = rng.permutation(80)
+    return base, noisy[perm].astype(np.uint8), perm
+
+
+def test_l1_matching_parity(desc_pair):
+    d1, d2, _ = desc_pair
+    ref = match_descriptors(d1, d2)
+    res = match_descriptors_jax(
+        jnp.asarray(d1), jnp.ones(len(d1), bool),
+        jnp.asarray(d2), jnp.ones(len(d2), bool), metric="L1",
+    )
+    m = np.asarray(res.valid)
+    got = set(zip(np.asarray(res.idx1)[m].tolist(), np.asarray(res.idx2)[m].tolist()))
+    assert got == set(map(tuple, ref))
+    assert int(res.count) == len(ref)
+
+
+def test_l1_recovers_permutation(desc_pair):
+    d1, d2, perm = desc_pair
+    res = match_descriptors_jax(
+        jnp.asarray(d1), jnp.ones(len(d1), bool),
+        jnp.asarray(d2), jnp.ones(len(d2), bool), metric="L1",
+    )
+    m = np.asarray(res.valid)
+    i1 = np.asarray(res.idx1)[m]
+    i2 = np.asarray(res.idx2)[m]
+    # matched pairs must agree with the known permutation
+    inv = np.argsort(perm)
+    assert (i2 == inv[i1]).mean() > 0.95
+
+
+def test_l2_mode(desc_pair):
+    d1, d2, perm = desc_pair
+    res = match_descriptors_jax(
+        jnp.asarray(d1), jnp.ones(len(d1), bool),
+        jnp.asarray(d2), jnp.ones(len(d2), bool), metric="L2",
+    )
+    m = np.asarray(res.valid)
+    inv = np.argsort(perm)
+    assert (np.asarray(res.idx2)[m] == inv[np.asarray(res.idx1)[m]]).mean() > 0.95
+
+
+def test_validity_masks(desc_pair):
+    d1, d2, _ = desc_pair
+    v2 = np.ones(len(d2), bool)
+    v2[:40] = False
+    res = match_descriptors_jax(
+        jnp.asarray(d1), jnp.ones(len(d1), bool), jnp.asarray(d2), jnp.asarray(v2),
+    )
+    m = np.asarray(res.valid)
+    assert (np.asarray(res.idx2)[m] >= 40).all()
+
+
+def test_empty_inputs():
+    mp = MatchPlan()
+    out = mp.match(np.zeros(0, KP_DTYPE), np.zeros(5, KP_DTYPE))
+    assert out.shape == (0, 2)
+
+
+def test_match_plan_translated_scene(small_cfg):
+    from sift_pyocl_tpu import SiftPlan
+
+    a, b = transformed_pair((128, 128), seed=1, dx=5, dy=-3)
+    pa = SiftPlan(shape=a.shape, config=small_cfg)
+    ka, kb = pa.keypoints(a), pa.keypoints(b)
+    mp = MatchPlan()
+    m = mp.match(ka, kb)
+    assert len(m) >= 5
+    dx = np.median(m[:, 1]["x"] - m[:, 0]["x"])
+    dy = np.median(m[:, 1]["y"] - m[:, 0]["y"])
+    assert abs(dx + 5) < 0.5 and abs(dy - 3) < 0.5

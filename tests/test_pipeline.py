@@ -1,0 +1,56 @@
+"""End-to-end pipeline parity vs the oracle — the BASELINE.json config-1
+criterion at test scale (keypoint set parity; reference: test/test_all.py)."""
+
+import numpy as np
+import pytest
+
+from sift_pyocl_tpu import SiftPlan
+from sift_pyocl_tpu.oracle import sift_numpy
+
+from conftest import match_keypoint_sets
+
+
+@pytest.fixture(scope="module")
+def plan(scene160, small_cfg):
+    return SiftPlan(shape=scene160.shape, config=small_cfg)
+
+
+def test_end_to_end_parity(plan, scene160, small_cfg):
+    ref = sift_numpy(scene160, small_cfg)
+    got = plan.keypoints(scene160)
+    assert len(ref) > 10
+    hits, desc_l1 = match_keypoint_sets(ref, got)
+    assert hits >= 0.95 * len(ref), f"{hits}/{len(ref)}"
+    assert len(got) <= len(ref) + max(3, int(0.05 * len(ref)))
+    assert desc_l1 < 0.2
+
+
+def test_output_format(plan, scene160):
+    kp = plan.keypoints(scene160)
+    assert kp.dtype.names == ("x", "y", "scale", "angle", "desc")
+    assert kp["desc"].dtype == np.uint8
+    assert kp["desc"].shape[1] == 128
+    h, w = scene160.shape
+    assert (kp["x"] >= 0).all() and (kp["x"] <= w).all()
+    assert (kp["y"] >= 0).all() and (kp["y"] <= h).all()
+    assert (kp["scale"] > 0).all()
+    assert (np.abs(kp["angle"]) <= np.pi).all()
+
+
+def test_plan_shape_validation(plan):
+    with pytest.raises(ValueError):
+        plan.keypoints(np.zeros((32, 32), np.float32))
+
+
+def test_constant_image(small_cfg):
+    p = SiftPlan(shape=(64, 64), config=small_cfg)
+    kp = p.keypoints(np.full((64, 64), 9.0, np.float32))
+    assert len(kp) == 0
+
+
+def test_determinism(plan, scene160):
+    a = plan.keypoints(scene160)
+    b = plan.keypoints(scene160)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["desc"], b["desc"])
+    np.testing.assert_array_equal(a["x"], b["x"])
