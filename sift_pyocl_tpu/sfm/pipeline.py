@@ -56,6 +56,7 @@ class IncrementalSfM:
         min_matches: int = 30,
         reproj_px: float = 3.0,
         ba_every: int = 8,
+        ratio_sq: float = 0.7,
         seed: int = 0,
     ):
         self.K = np.asarray(K, np.float32)
@@ -65,6 +66,9 @@ class IncrementalSfM:
         self.min_matches = min_matches
         self.reproj_px = reproj_px
         self.ba_every = ba_every
+        # looser ratio than the pairwise default 0.5329: SfM matching is
+        # outlier-gated downstream by RANSAC-PnP / reprojection checks
+        self.ratio_sq = ratio_sq
         self.key = jax.random.key(seed)
 
     def _next_key(self):
@@ -84,7 +88,8 @@ class IncrementalSfM:
         v1 = np.arange(p1) < n1
         v2 = np.arange(p2) < n2
         res = match_descriptors_jax(
-            jnp.asarray(d1p), jnp.asarray(v1), jnp.asarray(d2p), jnp.asarray(v2)
+            jnp.asarray(d1p), jnp.asarray(v1), jnp.asarray(d2p), jnp.asarray(v2),
+            ratio_sq=self.ratio_sq,
         )
         m = np.asarray(res.valid)
         return np.stack([np.asarray(res.idx1)[m], np.asarray(res.idx2)[m]], 1)
@@ -94,17 +99,20 @@ class IncrementalSfM:
         kps = [self.sift.keypoints(np.asarray(f)) for f in frames]
         K = jnp.asarray(self.K)
 
-        # --- bootstrap: frame 0 against the first frame with enough flow ---
+        # --- bootstrap: frame 0 against the best-baseline frame ---
+        # prefer the first frame meeting both gates (enough inliers AND enough
+        # parallax); if none does, fall back to the candidate maximizing
+        # inliers * flow (baseline-vs-coverage tradeoff)
         boot = None
+        fallback = None
+        fallback_score = 0.0
         for b in range(1, F):
             m = self._match(kps[0]["desc"], kps[b]["desc"])
-            if len(m) < self.min_matches:
+            if len(m) < max(self.min_matches // 2, 10):
                 continue
             uv0 = np.stack([kps[0]["x"][m[:, 0]], kps[0]["y"][m[:, 0]]], 1)
             uvb = np.stack([kps[b]["x"][m[:, 1]], kps[b]["y"][m[:, 1]]], 1)
-            flow = np.median(np.linalg.norm(uvb - uv0, axis=1))
-            if flow < self.min_boot_flow:
-                continue
+            flow = float(np.median(np.linalg.norm(uvb - uv0, axis=1)))
             n = _pow2_pad(len(m))
             uv0p = np.zeros((n, 2), np.float32)
             uv0p[: len(m)] = uv0
@@ -115,9 +123,16 @@ class IncrementalSfM:
                 self._next_key(), K, jnp.asarray(uv0p), jnp.asarray(uvbp),
                 jnp.asarray(vp), thresh_px=self.reproj_px,
             )
-            if int(init.n_inliers) >= self.min_matches:
+            n_inl = int(init.n_inliers)
+            if n_inl >= self.min_matches and flow >= self.min_boot_flow:
                 boot = (b, m, uv0, uvb, init)
                 break
+            score = n_inl * flow
+            if n_inl >= max(self.min_matches // 2, 10) and score > fallback_score:
+                fallback = (b, m, uv0, uvb, init)
+                fallback_score = score
+        if boot is None:
+            boot = fallback
         if boot is None:
             return None
         b, m, uv0, uvb, init = boot
@@ -179,6 +194,9 @@ class IncrementalSfM:
                     obs_cam.append(cam_id)
                     obs_pt.append(int(pi))
                     obs_uv.append([kps[f]["x"][ki], kps[f]["y"][ki]])
+                    # refresh the map point's descriptor to the newest view so
+                    # sequential matching tracks appearance drift
+                    map_desc[pi] = kps[f]["desc"][ki]
 
             # triangulate new points vs the previous registered frame
             prev_f = frames_reg[-2]
