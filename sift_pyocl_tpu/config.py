@@ -47,6 +47,8 @@ class SiftConfig:
     desc_window: int = 80               # static descriptor gather window (px)
     max_interp_moves: int = 5           # iterative subpixel refinement moves
     min_octave_size: int = 2 * 5 + 3    # stop octaves when min dim <= this
+    conv_backend: str = "auto"          # pyramid conv: "pallas" | "xla" | "auto"
+                                        # (auto = fused Pallas kernel on TPU)
 
     # --- derived helpers (pure functions of config + image shape) ---
 
