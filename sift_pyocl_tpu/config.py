@@ -49,6 +49,8 @@ class SiftConfig:
     min_octave_size: int = 2 * 5 + 3    # stop octaves when min dim <= this
     conv_backend: str = "auto"          # pyramid conv: "pallas" | "xla" | "auto"
                                         # (auto = fused Pallas kernel on TPU)
+    kp_backend: str = "auto"            # detect/orient/descriptor path:
+                                        # "pallas" | "xla" | "auto"
 
     # --- derived helpers (pure functions of config + image shape) ---
 

@@ -55,8 +55,29 @@ def octave_capacities(shape: Tuple[int, int], cfg: SiftConfig) -> List[Tuple[int
     return caps
 
 
+def _resolve_kp_backend(cfg: SiftConfig) -> str:
+    be = cfg.kp_backend
+    if be == "auto":
+        be = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return be
+
+
 def detect_and_describe(img: jnp.ndarray, cfg: SiftConfig) -> KeypointBuffer:
-    """The full forward pass (reference: SiftPlan.keypoints, SURVEY.md §3.2)."""
+    """The full forward pass (reference: SiftPlan.keypoints, SURVEY.md §3.2).
+
+    Two equivalent compute paths per stage (same numerics, SURVEY.md §4
+    oracle strategy): "xla" (vectorized jnp, runs anywhere) and "pallas"
+    (TPU kernels in ops/pallas/ — the production path; the XLA gathers and
+    nonzero-compaction are pathological on TPU).
+    """
+    from ..ops.detect import detect_octave_pallas
+    from ..ops.orient_desc import (
+        assign_orientations_pallas,
+        compute_descriptors_pallas,
+    )
+    from ..ops.pallas.window import pad_grad_planes
+
+    use_pallas = _resolve_kp_backend(cfg) == "pallas"
     shape = img.shape[:2]
     octaves = build_scale_space_jax(img, cfg)
     caps = octave_capacities(shape, cfg)
@@ -64,10 +85,18 @@ def detect_and_describe(img: jnp.ndarray, cfg: SiftConfig) -> KeypointBuffer:
     octsize = 0.5 if cfg.double_im_size else 1.0
     for o, (blurs, dogs) in enumerate(octaves):
         cap, dcap = caps[o]
-        kps = detect_octave(dogs, cfg, o, cap)
         mags, oris = gradient_planes(blurs, cfg)
-        okps = assign_orientations(mags, oris, kps, cfg, dcap)
-        desc = compute_descriptors(mags, oris, okps, cfg)
+        if use_pallas:
+            kps, _raw_extrema = detect_octave_pallas(dogs, cfg, o, cap)
+            extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
+            mag_p, ori_p = pad_grad_planes(mags, oris)
+            okps = assign_orientations_pallas(mag_p, ori_p, kps, cfg, dcap)
+            desc = compute_descriptors_pallas(mag_p, ori_p, okps, cfg)
+        else:
+            kps = detect_octave(dogs, cfg, o, cap)
+            extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
+            okps = assign_orientations(mags, oris, kps, cfg, dcap)
+            desc = compute_descriptors(mags, oris, okps, cfg)
         sigma_oct = cfg.init_sigma * 2.0 ** (okps.fs / cfg.scales)
         xs.append(okps.fc * octsize)
         ys.append(okps.fr * octsize)
@@ -75,7 +104,6 @@ def detect_and_describe(img: jnp.ndarray, cfg: SiftConfig) -> KeypointBuffer:
         angles.append(okps.angle)
         descs.append(desc)
         valids.append(okps.valid)
-        extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
         counts.append(jnp.stack([extrema_count, okps.count]))
         octsize *= 2.0
     return KeypointBuffer(

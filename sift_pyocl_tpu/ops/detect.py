@@ -11,7 +11,7 @@ buffer with `jnp.nonzero(size=...)` — no atomics, no host sync, fully jittable
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -217,3 +217,40 @@ def detect_octave(
     mask = extrema_mask(dogs, cfg, octave)
     cands = compact_extrema(mask, cfg, cap)
     return refine_candidates(dogs, cands, cfg)
+
+
+def detect_octave_pallas(
+    dogs: jnp.ndarray, cfg: SiftConfig, octave: int, cap: int,
+    interpret: bool = False,
+) -> Tuple[RefinedKeypoints, jnp.ndarray]:
+    """Pallas detection path: kernel compaction + kernel refinement.
+
+    Same numerics as `detect_octave` (oracle.local_maxmin/interp_keypoint);
+    the XLA `nonzero` and vmapped-gather refinement are replaced by
+    ops.pallas.{compact,refine} kernels (SURVEY.md §2.2 image.cl rows).
+    Returns (keypoints, true_extrema_count).
+    """
+    from .pallas.compact import compact_mask_pallas
+    from .pallas.refine import pad_dogs, refine_pallas
+
+    S, H, W = dogs.shape
+    bd = cfg.border_dist
+    mask = extrema_mask(dogs, cfg, octave)
+    Sm, Hm, Wm = mask.shape
+    idx, written, total = compact_mask_pallas(mask, cap, interpret=interpret)
+    valid = jnp.arange(cap, dtype=jnp.int32) < written
+    idx = jnp.where(valid, idx, 0)
+    s = (idx // (Hm * Wm) + 1).astype(jnp.int32)
+    rem = idx % (Hm * Wm)
+    r = (rem // Wm + bd).astype(jnp.int32)
+    c = (rem % Wm + bd).astype(jnp.int32)
+    fs, fr, fc, peak, acc = refine_pallas(
+        pad_dogs(dogs), s, r, c, valid,
+        H=H, W=W, bd=bd, peak_thresh=cfg.peak_thresh,
+        max_moves=cfg.max_interp_moves, interpret=interpret,
+    )
+    kps = RefinedKeypoints(
+        s_int=s, fs=fs, fr=fr, fc=fc, peak=peak,
+        valid=(acc > 0) & valid,
+    )
+    return kps, total

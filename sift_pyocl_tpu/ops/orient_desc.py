@@ -191,6 +191,118 @@ def assign_orientations(
     )
 
 
+def smooth_orientation_hist(hist: jnp.ndarray) -> jnp.ndarray:
+    """Six rounds of circular 3-tap box smoothing along the last axis."""
+    for _ in range(6):
+        hist = (
+            jnp.roll(hist, 1, axis=-1) + hist + jnp.roll(hist, -1, axis=-1)
+        ) / 3.0
+    return hist
+
+
+def orientation_peaks_from_hist(
+    hist: jnp.ndarray,
+    kps: RefinedKeypoints,
+    cfg: SiftConfig,
+    dcap: int,
+    max_ori: int = 2,
+) -> OrientedKeypoints:
+    """Vectorized peak finding + duplicate expansion from (cap, 36) histograms.
+
+    Same numerics as the tail of `assign_orientations` (smoothing, >=0.8*max
+    local maxima, parabolic refinement, up to `max_ori` angles per keypoint,
+    compaction to `dcap`).  Used by the Pallas path where the histogram is
+    produced by ops.pallas.window.orientation_hist_pallas.
+    """
+    hist = smooth_orientation_hist(hist)
+    hmax = jnp.max(hist, axis=-1, keepdims=True)
+    left = jnp.roll(hist, 1, axis=-1)
+    right = jnp.roll(hist, -1, axis=-1)
+    is_peak = (hist >= 0.8 * hmax) & (hist > left) & (hist > right) & (hmax > 0)
+    scores = jnp.where(is_peak, hist, -jnp.inf)
+    top_vals, top_bins = lax.top_k(scores, max_ori)          # (cap, max_ori)
+    ok = jnp.isfinite(top_vals) & kps.valid[:, None]
+    l = jnp.take_along_axis(left, top_bins, axis=-1)
+    rgt = jnp.take_along_axis(right, top_bins, axis=-1)
+    h = jnp.take_along_axis(hist, top_bins, axis=-1)
+    denom = l - 2.0 * h + rgt
+    off = jnp.where(
+        denom != 0, 0.5 * (l - rgt) / jnp.where(denom != 0, denom, 1.0), 0.0
+    )
+    ang = (
+        2 * np.pi * (top_bins.astype(jnp.float32) + 0.5 + off) / N_ORI_BINS
+        - np.pi
+    )
+    ang = jnp.where(ang > np.pi, ang - 2 * np.pi, ang)
+    ang = jnp.where(ang <= -np.pi, ang + 2 * np.pi, ang)
+
+    flat_ok = ok.reshape(-1)
+    count = jnp.sum(flat_ok.astype(jnp.int32))
+    (sel,) = jnp.nonzero(flat_ok, size=dcap, fill_value=-1)
+    valid = sel >= 0
+    sel = jnp.maximum(sel, 0)
+    kp_idx = sel // max_ori
+    return OrientedKeypoints(
+        s_int=kps.s_int[kp_idx],
+        fs=kps.fs[kp_idx],
+        fr=kps.fr[kp_idx],
+        fc=kps.fc[kp_idx],
+        angle=ang.reshape(-1)[sel],
+        valid=valid,
+        count=count,
+    )
+
+
+def quantize_descriptors(raw: jnp.ndarray) -> jnp.ndarray:
+    """(N, 128) raw histograms -> uint8: normalize, clip 0.2, renorm, x512."""
+    n = jnp.sqrt(jnp.sum(raw * raw, axis=-1, keepdims=True))
+    v = jnp.where(n > 0, raw / jnp.where(n > 0, n, 1.0), raw)
+    v = jnp.minimum(v, 0.2)
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    v = jnp.where(n > 0, v / jnp.where(n > 0, n, 1.0), v)
+    return jnp.minimum(512.0 * v, 255.0).astype(jnp.uint8)
+
+
+def assign_orientations_pallas(
+    mag_p: jnp.ndarray,
+    ori_p: jnp.ndarray,
+    kps: RefinedKeypoints,
+    cfg: SiftConfig,
+    dcap: int,
+    max_ori: int = 2,
+    interpret: bool = False,
+) -> OrientedKeypoints:
+    """Pallas-backed orientation assignment (mag_p/ori_p pre-padded)."""
+    from .pallas.window import orientation_hist_pallas
+
+    win = _ori_window_size(cfg)
+    sigma_oct = cfg.init_sigma * 2.0 ** (kps.fs / cfg.scales)
+    hist = orientation_hist_pallas(
+        mag_p, ori_p, kps.s_int, kps.fr, kps.fc, sigma_oct, kps.valid,
+        win=win, interpret=interpret,
+    )
+    return orientation_peaks_from_hist(hist, kps, cfg, dcap, max_ori)
+
+
+def compute_descriptors_pallas(
+    mag_p: jnp.ndarray,
+    ori_p: jnp.ndarray,
+    okps: OrientedKeypoints,
+    cfg: SiftConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas-backed descriptor computation (mag_p/ori_p pre-padded)."""
+    from .pallas.window import descriptor_hist_pallas
+
+    win = _desc_window_size(cfg)
+    sigma_oct = cfg.init_sigma * 2.0 ** (okps.fs / cfg.scales)
+    raw = descriptor_hist_pallas(
+        mag_p, ori_p, okps.s_int, okps.fr, okps.fc, sigma_oct, okps.angle,
+        okps.valid, win=win, interpret=interpret,
+    )
+    return quantize_descriptors(raw)
+
+
 def compute_descriptors(
     mags: jnp.ndarray,
     oris: jnp.ndarray,

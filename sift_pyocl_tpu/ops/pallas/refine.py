@@ -1,0 +1,214 @@
+"""Iterative subpixel keypoint refinement as a Pallas TPU kernel.
+
+TPU-native replacement for the reference's interpolation kernel
+(reference: openCL/image.cl::interp_keypoint — SURVEY.md §2.2).  The XLA
+formulation (vmapped dynamic_slice of 3x3x3 cubes per candidate, 5 move
+iterations) lowers to row-at-a-time gathers and costs ~70 ms/frame at 1080p;
+here each candidate costs one 3-plane DMA plus vector math:
+
+  * DMA a (3, 24, 256) DoG window around the candidate (aligned origin — TPU
+    DMA slice starts must be 8/128-aligned, the residual is carried as a
+    local coordinate offset);
+  * compute gradient/Hessian/offset/peak planes DENSELY over the window with
+    static `pltpu.roll` shifts (the 3x3x3 stencil becomes ~45 VPU ops);
+  * run the <=5 re-centering moves as scalar iterations, reading the dense
+    offset planes at the current position with a one-hot reduction (TPU has
+    no unaligned scalar VMEM loads);
+  * write per-candidate results to SMEM outputs.
+
+Numerics match ops.detect.refine_candidates / oracle.interp_keypoint: move
+while |offset| > 0.6 (clamped inside the border), accept iff the final solve
+succeeds, |peak| > peak_thresh and all |offset| <= 1.5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS, COLS = 24, 256   # window block (covers +-6 px moves + 8/128 residuals)
+PAD_R, PAD_C = 24, 256  # DoG stack padding (rows, cols) on each side
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pad_dogs(dogs: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the (S,H,W) DoG stack for aligned window fetches."""
+    return jnp.pad(dogs, ((0, 0), (PAD_R, PAD_R), (PAD_C, PAD_C)))
+
+
+def _at(plane, rr, cc):
+    """Scalar read plane[rr, cc] via one-hot reduction (no unaligned loads)."""
+    oh = (lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0) == rr) & (
+        lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1) == cc
+    )
+    return jnp.sum(jnp.where(oh, plane, 0.0))
+
+
+def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
+            fs_out, fr_out, fc_out, peak_out, acc_out,
+            win, sem, *, H, W, bd, peak_thresh, max_moves, n_moves_border):
+    i = pl.program_id(0)
+    ok_slot = valid_ref[i] > 0
+
+    @pl.when(jnp.logical_not(ok_slot))
+    def _():
+        fs_out[i] = 0.0
+        fr_out[i] = 0.0
+        fc_out[i] = 0.0
+        peak_out[i] = 0.0
+        acc_out[i] = 0
+
+    @pl.when(ok_slot)
+    def _():
+        s = s_ref[i]
+        r = r_ref[i]
+        c = c_ref[i]
+        # aligned fetch origin; residual lands in local coordinates
+        rp = r - 6 + PAD_R
+        cp = c - 6 + PAD_C
+        ra = pl.multiple_of((rp // 8) * 8, 8)
+        ca = pl.multiple_of((cp // 128) * 128, 128)
+        cp_ = pltpu.make_async_copy(
+            dogs_hbm.at[pl.ds(s - 1, 3), pl.ds(ra, ROWS), pl.ds(ca, COLS)],
+            win, sem,
+        )
+        cp_.start()
+        cp_.wait()
+        # local coords of the candidate center inside the window
+        lr0 = rp - ra + 6
+        lc0 = cp - ca + 6
+
+        w0 = win[0]
+        w1 = win[1]
+        w2 = win[2]
+
+        def sh(x, dr, dc):
+            # pltpu.roll requires non-negative shifts; -d == size - d
+            y = x
+            if dr:
+                y = pltpu.roll(y, (-dr) % ROWS, 0)
+            if dc:
+                y = pltpu.roll(y, (-dc) % COLS, 1)
+            return y
+
+        gs = 0.5 * (w2 - w0)
+        gr = 0.5 * (sh(w1, 1, 0) - sh(w1, -1, 0))
+        gc = 0.5 * (sh(w1, 0, 1) - sh(w1, 0, -1))
+        hss = w2 + w0 - 2.0 * w1
+        hrr = sh(w1, 1, 0) + sh(w1, -1, 0) - 2.0 * w1
+        hcc = sh(w1, 0, 1) + sh(w1, 0, -1) - 2.0 * w1
+        hsr = 0.25 * ((sh(w2, 1, 0) - sh(w2, -1, 0)) - (sh(w0, 1, 0) - sh(w0, -1, 0)))
+        hsc = 0.25 * ((sh(w2, 0, 1) - sh(w2, 0, -1)) - (sh(w0, 0, 1) - sh(w0, 0, -1)))
+        hrc = 0.25 * (sh(w1, 1, 1) - sh(w1, 1, -1) - sh(w1, -1, 1) + sh(w1, -1, -1))
+
+        a, b_, c_, d_, e_, f_ = hss, hsr, hsc, hrr, hrc, hcc
+        det = a * (d_ * f_ - e_ * e_) - b_ * (b_ * f_ - e_ * c_) + c_ * (
+            b_ * e_ - d_ * c_
+        )
+        solv = jnp.abs(det) > 1e-30
+        inv = jnp.where(solv, 1.0 / jnp.where(solv, det, 1.0), 0.0)
+        # adjugate rows (symmetric H), applied to -g
+        offs = -((d_ * f_ - e_ * e_) * gs + (c_ * e_ - b_ * f_) * gr
+                 + (b_ * e_ - c_ * d_) * gc) * inv
+        offr = -((e_ * c_ - b_ * f_) * gs + (a * f_ - c_ * c_) * gr
+                 + (b_ * c_ - a * e_) * gc) * inv
+        offc = -((b_ * e_ - d_ * c_) * gs + (c_ * b_ - a * e_) * gr
+                 + (a * d_ - b_ * b_) * gc) * inv
+        peak = w1 + 0.5 * (gs * offs + gr * offr + gc * offc)
+
+        def body(_, st):
+            lr, lc = st
+            o_r = _at(offr, lr, lc)
+            o_c = _at(offc, lr, lc)
+            converged = (jnp.abs(o_r) <= 0.6) & (jnp.abs(o_c) <= 0.6)
+            dr = jnp.where(o_r > 0.6, 1, jnp.where(o_r < -0.6, -1, 0))
+            dc = jnp.where(o_c > 0.6, 1, jnp.where(o_c < -0.6, -1, 0))
+            ar = r + (lr - lr0)
+            ac = c + (lc - lc0)
+            dr = jnp.where((dr > 0) & (ar + 1 >= H - bd), 0, dr)
+            dr = jnp.where((dr < 0) & (ar - 1 < bd), 0, dr)
+            dc = jnp.where((dc > 0) & (ac + 1 >= W - bd), 0, dc)
+            dc = jnp.where((dc < 0) & (ac - 1 < bd), 0, dc)
+            lr = jnp.where(converged, lr, lr + dr)
+            lc = jnp.where(converged, lc, lc + dc)
+            return (lr, lc)
+
+        lr, lc = lax.fori_loop(0, max_moves, body, (lr0, lc0))
+        v_s = _at(offs, lr, lc)
+        v_r = _at(offr, lr, lc)
+        v_c = _at(offc, lr, lc)
+        v_p = _at(peak, lr, lc)
+        v_ok = _at(jnp.where(solv, 1.0, 0.0), lr, lc)
+        accept = (
+            (v_ok > 0)
+            & (jnp.abs(v_p) > peak_thresh)
+            & (jnp.abs(v_s) <= 1.5)
+            & (jnp.abs(v_r) <= 1.5)
+            & (jnp.abs(v_c) <= 1.5)
+        )
+        fs_out[i] = s.astype(jnp.float32) + v_s
+        fr_out[i] = (r + (lr - lr0)).astype(jnp.float32) + v_r
+        fc_out[i] = (c + (lc - lc0)).astype(jnp.float32) + v_c
+        peak_out[i] = v_p
+        acc_out[i] = accept.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "bd", "peak_thresh", "max_moves", "interpret"),
+)
+def refine_pallas(
+    dogs_padded: jnp.ndarray,
+    s: jnp.ndarray,
+    r: jnp.ndarray,
+    c: jnp.ndarray,
+    valid: jnp.ndarray,
+    H: int,
+    W: int,
+    bd: int,
+    peak_thresh: float,
+    max_moves: int = 5,
+    interpret: bool = False,
+):
+    """Refine candidates; returns (fs, fr, fc, peak, accept) each (cap,)."""
+    cap = s.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(cap,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(5)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, ROWS, COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            H=H, W=W, bd=bd,
+            peak_thresh=float(peak_thresh),
+            max_moves=max_moves,
+            n_moves_border=0,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((cap,), jnp.float32),
+            jax.ShapeDtypeStruct((cap,), jnp.float32),
+            jax.ShapeDtypeStruct((cap,), jnp.float32),
+            jax.ShapeDtypeStruct((cap,), jnp.float32),
+            jax.ShapeDtypeStruct((cap,), jnp.int32),
+        ),
+        interpret=interpret,
+    )(s.astype(jnp.int32), r.astype(jnp.int32), c.astype(jnp.int32),
+      valid.astype(jnp.int32), dogs_padded)
+    return outs

@@ -1,0 +1,342 @@
+"""Per-keypoint window kernels: orientation histogram and descriptor.
+
+TPU-native replacement for the reference's per-keypoint histogram kernels
+(reference: openCL/orientation_{cpu,gpu}.cl and the three
+keypoints_{cpu,gpu1,gpu2}.cl::descriptor variants — SURVEY.md §2.2).  The XLA
+formulation (vmapped dynamic_slice window gathers) lowers to row-at-a-time
+gathers and dominates the frame time (~1 s at 1080p); here each keypoint
+costs two aligned DMAs plus dense VPU math on a VMEM-resident window.
+
+Kernel structure (one grid step = KP_BLOCK=8 keypoints, which both satisfies
+the (8,128) output-tile constraint and overlaps the 16 window DMAs):
+
+  * gradient mag/ori planes are zero-padded once per octave (pad value 0
+    reproduces the reference's out-of-image skip);
+  * all 2*KP_BLOCK DMAs start up-front (skipped for invalid slots), each an
+    aligned (ROWS_F, 256) block — TPU DMA slice starts must be 8/128-aligned,
+    so the block is rolled by the residual afterwards to put the true window
+    at the origin (no unaligned slicing anywhere);
+  * a fori_loop walks the 8 keypoints (loop-carried (8, N) accumulator keeps
+    the Mosaic VMEM stack at one iteration's temporaries);
+  * histogram math is masked dense arithmetic over the (WIN, 128) block;
+    scalar bin sums are assembled into rows with iota selects (scalar stores
+    to VMEM are unsupported).
+
+Numerics mirror ops.orient_desc.{assign_orientations,compute_descriptors}
+exactly; the smoothing/peak/quantization tails stay in XLA where they are
+cheap and vectorized.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...oracle import DESC_GRID, DESC_ORI, MAG_FACTOR, N_ORI_BINS
+
+PAD_R, PAD_C = 80, 256  # gradient-plane padding per side (covers WIN<=144)
+KP_BLOCK = 8            # keypoints per grid step
+
+
+def pad_grad_planes(mags: jnp.ndarray, oris: jnp.ndarray):
+    """Zero-pad (S,H,W) gradient planes for aligned keypoint window fetches."""
+    pad = ((0, 0), (PAD_R, PAD_R), (PAD_C, PAD_C))
+    return jnp.pad(mags, pad), jnp.pad(oris, pad)
+
+
+def _window_copy(plane_hbm, s_idx, rstart_p, cstart_p, rows_f, dest, sem):
+    """Async copy descriptor for the aligned (rows_f, 256) block containing
+    the window whose top-left (padded coords) is (rstart_p, cstart_p)."""
+    ra = pl.multiple_of((rstart_p // 8) * 8, 8)
+    ca = pl.multiple_of((cstart_p // 128) * 128, 128)
+    return pltpu.make_async_copy(
+        plane_hbm.at[s_idx, pl.ds(ra, rows_f), pl.ds(ca, 256)], dest, sem
+    )
+
+
+def _align_window(block, rstart_p, cstart_p, win):
+    """Roll the fetched block so the window occupies [:win, :128]."""
+    rres = rstart_p - (rstart_p // 8) * 8
+    cres = cstart_p - (cstart_p // 128) * 128
+    x = pltpu.roll(block, (block.shape[0] - rres) % block.shape[0], 0)
+    x = pltpu.roll(x, (256 - cres) % 256, 1)
+    return x[0:win, 0:128]
+
+
+def _select_row(acc, j, row):
+    """acc[j, :] <- row, expressed as an iota select (no dynamic stores)."""
+    ridx = lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+    return jnp.where(ridx == j, row, acc)
+
+
+def _scalar_row(scalars_and_idx, width):
+    """Assemble [(idx, scalar), ...] into a (1, width) row via iota selects."""
+    lane = lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    acc = jnp.zeros((1, width), jnp.float32)
+    for idx, v in scalars_and_idx:
+        acc = jnp.where(lane == idx, v, acc)
+    return acc
+
+
+def _start_window_dmas(valid_ref, s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm,
+                       magw, oriw, sems, i, rows_f):
+    for j in range(KP_BLOCK):
+        k = i * KP_BLOCK + j
+
+        @pl.when(valid_ref[k] > 0)
+        def _(j=j, k=k):
+            _window_copy(mag_hbm, s_ref[k], rs_ref[k] + PAD_R,
+                         cs_ref[k] + PAD_C, rows_f, magw.at[j],
+                         sems.at[j, 0]).start()
+            _window_copy(ori_hbm, s_ref[k], rs_ref[k] + PAD_R,
+                         cs_ref[k] + PAD_C, rows_f, oriw.at[j],
+                         sems.at[j, 1]).start()
+
+
+def _wait_windows(s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm, magw, oriw, sems,
+                  j, k, rows_f, win):
+    """Wait both DMAs of keypoint j and return origin-aligned windows."""
+    rs = rs_ref[k] + PAD_R
+    cs = cs_ref[k] + PAD_C
+    _window_copy(mag_hbm, s_ref[k], rs, cs, rows_f, magw.at[j],
+                 sems.at[j, 0]).wait()
+    _window_copy(ori_hbm, s_ref[k], rs, cs, rows_f, oriw.at[j],
+                 sems.at[j, 1]).wait()
+    mw = _align_window(magw[j], rs, cs, win)
+    ow = _align_window(oriw[j], rs, cs, win)
+    return mw, ow
+
+
+# ---------------------------------------------------------------------------
+# Orientation histogram kernel
+# ---------------------------------------------------------------------------
+
+def _ori_kernel(s_ref, rs_ref, cs_ref, valid_ref, fr_ref, fc_ref, sig_ref,
+                mag_hbm, ori_hbm, out_ref, magw, oriw, sems, *,
+                win: int, rows_f: int):
+    i = pl.program_id(0)
+    _start_window_dmas(valid_ref, s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm,
+                       magw, oriw, sems, i, rows_f)
+
+    def body(j, acc):
+        k = i * KP_BLOCK + j
+
+        def compute(acc):
+            mw, ow = _wait_windows(s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm,
+                                   magw, oriw, sems, j, k, rows_f, win)
+            fr = fr_ref[k]
+            fc = fc_ref[k]
+            sig = sig_ref[k]
+            rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
+                jnp.float32) + (rs_ref[k].astype(jnp.float32) - fr)
+            cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
+                jnp.float32) + (cs_ref[k].astype(jnp.float32) - fc)
+            lane_ok = lax.broadcasted_iota(jnp.int32, (win, 128), 1) < win
+            d2 = rr * rr + cc * cc
+            sig_w = 1.5 * sig
+            radius = jnp.floor(3.0 * sig_w)
+            inside = (d2 < radius * radius + 0.5) & lane_ok
+            w = jnp.exp(-d2 / (2.0 * sig_w * sig_w)) * mw * inside
+            b = jnp.floor(
+                N_ORI_BINS * (ow + np.float32(np.pi)) / np.float32(2 * np.pi)
+            ).astype(jnp.int32)
+            b = jnp.clip(b, 0, N_ORI_BINS - 1)
+            vals = [(kk, jnp.sum(jnp.where(b == kk, w, 0.0)))
+                    for kk in range(N_ORI_BINS)]
+            return _select_row(acc, j, _scalar_row(vals, N_ORI_BINS))
+
+        return lax.cond(valid_ref[k] > 0, compute, lambda a: a, acc)
+
+    out_ref[:] = lax.fori_loop(
+        0, KP_BLOCK, body, jnp.zeros((KP_BLOCK, N_ORI_BINS), jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("win", "interpret"))
+def orientation_hist_pallas(
+    mag_p: jnp.ndarray,
+    ori_p: jnp.ndarray,
+    s_int: jnp.ndarray,
+    fr: jnp.ndarray,
+    fc: jnp.ndarray,
+    sigma: jnp.ndarray,
+    valid: jnp.ndarray,
+    win: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """36-bin gradient-orientation histograms, one row per keypoint slot.
+
+    mag_p/ori_p: pad_grad_planes output (S, H+2PAD_R, W+2PAD_C).
+    Returns (cap, 36) f32 (zeros for invalid slots).
+    """
+    cap = s_int.shape[0]
+    assert cap % KP_BLOCK == 0 and win <= 144
+    rows_f = win + 8
+    half = win // 2
+    r0 = jnp.round(fr).astype(jnp.int32)
+    c0 = jnp.round(fc).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(cap // KP_BLOCK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (KP_BLOCK, N_ORI_BINS), lambda i, *_: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KP_BLOCK, rows_f, 256), jnp.float32),
+            pltpu.VMEM((KP_BLOCK, rows_f, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((KP_BLOCK, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_ori_kernel, win=win, rows_f=rows_f),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cap, N_ORI_BINS), jnp.float32),
+        interpret=interpret,
+    )(
+        (s_int - 1).astype(jnp.int32),
+        (r0 - half).astype(jnp.int32),
+        (c0 - half).astype(jnp.int32),
+        valid.astype(jnp.int32),
+        fr.astype(jnp.float32),
+        fc.astype(jnp.float32),
+        sigma.astype(jnp.float32),
+        mag_p,
+        ori_p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Descriptor kernel
+# ---------------------------------------------------------------------------
+
+def _desc_kernel(s_ref, rs_ref, cs_ref, valid_ref, fr_ref, fc_ref, sig_ref,
+                 ang_ref, mag_hbm, ori_hbm, out_ref, magw, oriw, sems, *,
+                 win: int, rows_f: int):
+    i = pl.program_id(0)
+    _start_window_dmas(valid_ref, s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm,
+                       magw, oriw, sems, i, rows_f)
+
+    def body(j, acc):
+        k = i * KP_BLOCK + j
+
+        def compute(acc):
+            mw, ow = _wait_windows(s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm,
+                                   magw, oriw, sems, j, k, rows_f, win)
+            fr = fr_ref[k]
+            fc = fc_ref[k]
+            sig = sig_ref[k]
+            angle = ang_ref[k]
+            dr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
+                jnp.float32) + (rs_ref[k].astype(jnp.float32) - fr)
+            dc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
+                jnp.float32) + (cs_ref[k].astype(jnp.float32) - fc)
+            lane_ok = lax.broadcasted_iota(jnp.int32, (win, 128), 1) < win
+            spacing = np.float32(MAG_FACTOR) * sig
+            cos_t = jnp.cos(angle)
+            sin_t = jnp.sin(angle)
+            rrot = (cos_t * dr + sin_t * dc) / spacing
+            crot = (-sin_t * dr + cos_t * dc) / spacing
+            rbin = rrot + np.float32(DESC_GRID / 2.0 - 0.5)
+            cbin = crot + np.float32(DESC_GRID / 2.0 - 0.5)
+            inside = (
+                (rbin > -1.0) & (rbin < DESC_GRID)
+                & (cbin > -1.0) & (cbin < DESC_GRID)
+                & lane_ok
+            )
+            gw = jnp.exp(
+                -(rrot * rrot + crot * crot)
+                / np.float32(2.0 * (0.5 * DESC_GRID) ** 2)
+            )
+            m = gw * mw * inside
+            obin = (ow - angle) * np.float32(DESC_ORI / (2 * np.pi))
+            obin = obin - jnp.floor(obin / DESC_ORI) * DESC_ORI  # mod 8
+            Cs = []
+            for o in range(DESC_ORI):
+                do = jnp.abs(obin - o)
+                do = jnp.minimum(do, DESC_ORI - do)
+                Cs.append(m * jnp.maximum(0.0, 1.0 - do))
+            vals = []
+            for ri in range(DESC_GRID):
+                wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - ri))
+                for cj in range(DESC_GRID):
+                    wrc = wr * jnp.maximum(0.0, 1.0 - jnp.abs(cbin - cj))
+                    for o in range(DESC_ORI):
+                        idx = (ri * DESC_GRID + cj) * DESC_ORI + o
+                        vals.append((idx, jnp.sum(wrc * Cs[o])))
+            return _select_row(acc, j, _scalar_row(vals, 128))
+
+        return lax.cond(valid_ref[k] > 0, compute, lambda a: a, acc)
+
+    out_ref[:] = lax.fori_loop(
+        0, KP_BLOCK, body, jnp.zeros((KP_BLOCK, 128), jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("win", "interpret"))
+def descriptor_hist_pallas(
+    mag_p: jnp.ndarray,
+    ori_p: jnp.ndarray,
+    s_int: jnp.ndarray,
+    fr: jnp.ndarray,
+    fc: jnp.ndarray,
+    sigma: jnp.ndarray,
+    angle: jnp.ndarray,
+    valid: jnp.ndarray,
+    win: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Raw (unnormalized) 128-bin descriptor histograms per keypoint slot.
+
+    Returns (dcap, 128) f32; normalization/clip/quantization happen in XLA
+    (ops.orient_desc.quantize_descriptors).
+    """
+    cap = s_int.shape[0]
+    assert cap % KP_BLOCK == 0 and win <= 144
+    rows_f = win + 8
+    half = win // 2
+    r0 = jnp.round(fr).astype(jnp.int32)
+    c0 = jnp.round(fc).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(cap // KP_BLOCK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (KP_BLOCK, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KP_BLOCK, rows_f, 256), jnp.float32),
+            pltpu.VMEM((KP_BLOCK, rows_f, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((KP_BLOCK, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_desc_kernel, win=win, rows_f=rows_f),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cap, 128), jnp.float32),
+        interpret=interpret,
+    )(
+        (s_int - 1).astype(jnp.int32),
+        (r0 - half).astype(jnp.int32),
+        (c0 - half).astype(jnp.int32),
+        valid.astype(jnp.int32),
+        fr.astype(jnp.float32),
+        fc.astype(jnp.float32),
+        sigma.astype(jnp.float32),
+        angle.astype(jnp.float32),
+        mag_p,
+        ori_p,
+    )
