@@ -2,19 +2,16 @@
 """Benchmark: end-to-end SIFT detect+describe throughput at 1080p on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: BASELINE.md north-star >= 60 frames/s per v5e chip at 1080p
-(end-to-end SIFT+matching+BA; this round measures the SIFT frontend —
-the dominant per-frame cost — matching+BA join as they fuse in).
+Baseline: BASELINE.md north-star >= 60 frames/s per v5e chip at 1080p.
 
-Methodology notes (axon platform quirks, measured 2026-08-16):
-  * the runtime memoizes (executable, input) pairs, so timing MUST cycle
-    distinct input frames;
-  * host<->device transfers ride a slow tunnel that is not representative of
-    production DMA, so frames are pre-placed on device (a real video pipeline
-    overlaps frame DMA with compute) and outputs stay on device;
-  * sustained throughput: all iterations enqueued, one block at the end.
+Methodology (see sift_pyocl_tpu/utils/benchtool.py — measured axon-platform
+quirks): `block_until_ready` does not await real device execution here and
+the runtime memoizes (executable, input-value) pairs, so the only honest
+measurement chains N iterations with data dependencies inside ONE jitted
+fori_loop, feeds fresh input values per call, fetches an output scalar to
+host, and reports the slope between a short and a long chain.
 
-Usage: python bench.py [--shape H W] [--iters N] [--quick]
+Usage: python bench.py [--shape H W] [--quick]
 """
 
 import argparse
@@ -22,62 +19,49 @@ import json
 import sys
 import time
 
-import numpy as np
-
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
-    ap.add_argument("--iters", type=int, default=64)
-    ap.add_argument("--frames", type=int, default=8, help="distinct test frames")
-    ap.add_argument("--quick", action="store_true", help="256x256, few iters")
+    ap.add_argument("--quick", action="store_true", help="256x256 fast run")
+    ap.add_argument("--n-hi", type=int, default=9)
     args = ap.parse_args()
     if args.quick:
-        args.shape, args.iters = [256, 256], 16
+        args.shape = [256, 256]
 
     import jax
     import jax.numpy as jnp
 
-    from sift_pyocl_tpu import SiftConfig, SiftPlan
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import detect_and_describe
+    from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
     shape = tuple(args.shape)
     cfg = SiftConfig()
+    img = jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
+
+    def step(c):
+        b = detect_and_describe(c, cfg)
+        return {
+            "x": b.x.sum(), "y": b.y.sum(), "s": b.scale.sum(),
+            "a": b.angle.sum(), "d": b.desc.astype(jnp.float32).sum(),
+            "v": b.valid.sum(), "c": b.counts.sum(),
+        }
 
     t0 = time.perf_counter()
-    plan = SiftPlan(shape=shape, config=cfg)
-    base = [
-        jax.device_put(jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=s)))
-        for s in range(args.frames)
-    ]
-    # every timed iteration gets a UNIQUE device-resident frame (value-distinct,
-    # built on device) so runtime memoization cannot shortcut any execution
-    perturb = jax.jit(lambda x, c: x + c)
-    frames = [
-        perturb(base[i % len(base)], jnp.float32(0.001 * (i // len(base))))
-        for i in range(args.iters)
-    ]
-    jax.block_until_ready(frames)
-    buf = plan.keypoints_raw(frames[0])
-    jax.block_until_ready(buf)
-    compile_s = time.perf_counter() - t0
+    ms = chained_ms(step, img, n_hi=args.n_hi, reps=3)
+    wall = time.perf_counter() - t0
+    fps = 1000.0 / ms
 
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(args.iters):
-        outs.append(plan.keypoints_raw(frames[i]))
-        if len(outs) > 4:  # keep a short in-flight window
-            jax.block_until_ready(outs.pop(0))
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / args.iters
-
-    fps = 1.0 / dt
-    n_kp = int(np.asarray(buf.valid).sum())
+    n_kp = int(jax.device_get(
+        detect_and_describe(img, cfg).valid
+    ).sum())
     print(
         json.dumps(
             {
                 "metric": f"sift_detect_describe_fps_{shape[0]}x{shape[1]}",
-                "value": round(fps, 3),
+                "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 60.0, 4),
             }
@@ -88,11 +72,10 @@ def main() -> int:
             {
                 "detail": {
                     "device": str(jax.devices()[0]),
-                    "ms_per_frame": round(dt * 1e3, 4),
+                    "ms_per_frame": round(ms, 3),
                     "keypoints_frame0": n_kp,
-                    "compile_s": round(compile_s, 1),
-                    "iters": args.iters,
-                    "distinct_frames": len(frames),
+                    "bench_wall_s": round(wall, 1),
+                    "method": "chained fori_loop slope, fresh inputs",
                 }
             }
         ),

@@ -41,17 +41,24 @@ class KeypointBuffer(NamedTuple):
 
 
 def octave_capacities(shape: Tuple[int, int], cfg: SiftConfig) -> List[Tuple[int, int]]:
-    """(candidate_cap, descriptor_cap) per octave, shrinking with resolution."""
+    """(candidate_cap, descriptor_cap) per octave, shrinking with resolution.
+
+    kp_per_octave_cap bounds octave 0 and halves per octave (floor 128):
+    keypoint density drops ~4x per octave, and on TPU unused capacity is not
+    free — every slot is a (skipped) grid step of the per-keypoint kernels.
+    """
     h, w = shape
     if cfg.double_im_size:
         h, w = 2 * h, 2 * w
     caps = []
+    cap_bound = cfg.kp_per_octave_cap
     for _ in range(cfg.n_octaves(shape)):
-        cap = int(min(cfg.kp_per_octave_cap, max(h * w // cfg.pix_per_kp, 64)))
+        cap = int(min(cap_bound, max(h * w // cfg.pix_per_kp, 64)))
         cap = (cap + 63) // 64 * 64
         dcap = cap + cap // 2
         caps.append((cap, dcap))
         h, w = h // 2, w // 2
+        cap_bound = max(cap_bound // 2, 128)
     return caps
 
 

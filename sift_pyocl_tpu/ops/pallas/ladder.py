@@ -1,0 +1,338 @@
+"""Fused whole-pyramid ladder kernel for the small octaves.
+
+TPU-native replacement for the reference's per-scale convolution round trips
+(reference: openCL/convolution.cl + algebra.cl::combine + preprocess.cl::shrink
+over the octave loop of sift-src/plan.py::_one_octave — SURVEY.md §3.2).
+
+Motivation (measured on v5e): one Pallas launch costs ~0.27 ms on this
+platform, and octaves >= 1 need 5 blurs each — launch overhead dominates
+(octave 0's five tiled blurs cost 0.8 ms; the remaining ~25 launches cost
+~7 ms of almost pure overhead).  Every octave >= 1 of a 1080p frame fits in
+VMEM, so this kernel computes ALL of them in ONE launch:
+
+  per octave: 5 x (edge-replicate margins -> horizontal pass -> vertical
+  pass) with dynamic-shift rolls; DoG as an in-VMEM subtraction staged
+  through the idle pass buffer; 2x downsampling on the MXU via 0/1
+  selection matmuls (Mosaic has no strided slices; a selection matmul is
+  exact — each output is a single 1.0*x term — and costs microseconds);
+  blur/DoG planes are DMA'd straight to HBM outputs.
+
+Borders follow the oracle exactly: each level's input is edge-replicated
+into the margin before convolving, which reproduces clamp-to-edge per level
+(identical to blurring the full image with edge padding).  Buffers are sized
+for the largest small octave; smaller octaves compute on static sub-slices
+so the vector work shrinks 4x per octave.
+
+Buffer rotation: levels ping-pong between bufs[0] and bufs[2] with bufs[1]
+holding the horizontal pass; level L lands in bufs[2] for odd L, bufs[0]
+for even L (base = level 0 starts in bufs[0]).  The next octave's base is
+downsampled EARLY — in the iteration that produces level `scales` — because
+that buffer is overwritten two levels later.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MR = 16    # row margin (>= max tap half-width 13)
+MC = 128   # lane margin (DMA/lane alignment)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _geometry(h1: int, w1: int, n_oct: int):
+    """Static per-octave sizes: (H, W, Hp8, Wp128, Hb, Wb) with halving.
+
+    The image sits at the buffer origin; the single tail margin region holds
+    BOTH edge pads: rows [H, H+MR) replicate the bottom edge (reads past the
+    end) and rows [Hb-MR, Hb) replicate the top edge (negative reads arrive
+    there via roll wrap-around).  Same for lanes.  This keeps every DMA
+    origin (0, 0)-aligned and minimizes VMEM.
+    """
+    geo = []
+    h, w = h1, w1
+    for _ in range(n_oct):
+        geo.append((
+            h, w, _round_up(h, 8), _round_up(w, 128),
+            _round_up(h + 2 * MR, 8), _round_up(w + 2 * MR, 128),
+        ))
+        h, w = h // 2, w // 2
+    return geo
+
+
+def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
+            n_levels, scales, h0p8):
+    n_oct = len(geo)
+    outs = refs[: 2 * n_oct]                 # blur_o, dog_o interleaved
+    b0, b1, b2, nextbase = refs[2 * n_oct : 2 * n_oct + 4]
+    sem, osem = refs[2 * n_oct + 4 :]
+    bufs = [b0, b1, b2]
+
+    # Build the first small octave's base by 2x-downsampling octave 0's
+    # level-`scales` blur straight from HBM (an XLA strided slice costs
+    # ~4.5 ms at 1080p on this platform; chunked selection matmuls on the
+    # MXU cost microseconds).  Everything is chunked 128 output rows/cols at
+    # a time and run_scoped so no phase-0 temporary outlives this block
+    # (the VMEM stack is the binding constraint at 1080p).
+    H1, W1, _, _, Hb1, Wb1 = geo[0]
+
+    def _phase0(x0chunk, sem0):
+        def col_chunk(cb, _):
+            c0_ = pl.multiple_of(cb * 256, 256)
+            cpy0 = pltpu.make_async_copy(
+                base_hbm.at[pl.ds(0, h0p8), pl.ds(c0_, 256)], x0chunk, sem0
+            )
+            cpy0.start()
+            cpy0.wait()
+            ci = lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+            cj = lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+            EC = ((ci == 2 * cj) & (cj + cb * 128 < W1)).astype(jnp.float32)
+            xc = jnp.dot(x0chunk[:], EC, preferred_element_type=jnp.float32)
+
+            def row_chunk(rb, _):
+                r0_ = pl.multiple_of(rb * 8, 8)
+                ri = lax.broadcasted_iota(jnp.int32, (8, h0p8), 0) + r0_
+                rj = lax.broadcasted_iota(jnp.int32, (8, h0p8), 1)
+                ER = ((rj == 2 * ri) & (ri < H1)).astype(jnp.float32)
+                b0[pl.ds(r0_, 8), pl.ds(pl.multiple_of(cb * 128, 128), 128)] = (
+                    jnp.dot(ER, xc, preferred_element_type=jnp.float32)
+                )
+                return 0
+
+            lax.fori_loop(0, Hb1 // 8, row_chunk, 0)
+            return 0
+
+        lax.fori_loop(0, Wb1 // 128, col_chunk, 0)
+
+    pl.run_scoped(
+        _phase0,
+        pltpu.VMEM((h0p8, 256), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+    for o, (H, W, Hp8, Wp128, Hb, Wb) in enumerate(geo):
+
+        def edge_replicate(ref, H=H, W=W, Hb=Hb, Wb=Wb):
+            # margin-region writes only (a full-plane where-chain would keep
+            # ~9 plane-sized temporaries live on the Mosaic stack and OOM).
+            # [H, Hb-MR) <- bottom edge (direct over-reads);
+            # [Hb-MR, Hb) <- top edge (negative reads wrap around via roll).
+            ref[H : Hb - MR, 0:Wb] = jnp.broadcast_to(
+                ref[H - 1 : H, 0:Wb], (Hb - MR - H, Wb)
+            )
+            ref[Hb - MR : Hb, 0:Wb] = jnp.broadcast_to(
+                ref[0:1, 0:Wb], (MR, Wb)
+            )
+            ref[0:Hb, W : Wb - MR] = jnp.broadcast_to(
+                ref[0:Hb, W - 1 : W], (Hb, Wb - MR - W)
+            )
+            ref[0:Hb, Wb - MR : Wb] = jnp.broadcast_to(
+                ref[0:Hb, 0:1], (Hb, MR)
+            )
+
+        def conv_pass(src_ref, dst_ref, lvl, axis, Hb=Hb, Wb=Wb):
+            # Chunked along the non-rolled axis with a loop-carried
+            # accumulator: every temporary is chunk-sized (full-plane
+            # straight-line temps stack up on the Mosaic VMEM allocator).
+            off = tap_offsets[lvl]
+            K = tap_sizes[lvl]
+            half = (K - 1) // 2
+            if axis == 1:
+                CH = 8
+                nch = Hb // CH
+
+                def row_chunk(rb, _):
+                    r0_ = pl.multiple_of(rb * CH, 8)
+                    x = src_ref[pl.ds(r0_, CH), 0:Wb]
+
+                    def tap(kk, acc):
+                        return acc + pltpu.roll(
+                            x, (half - kk) % Wb, 1
+                        ) * taps_ref[off + kk]
+
+                    acc = x * taps_ref[off + half]
+                    acc = lax.fori_loop(0, half, tap, acc)
+                    acc = lax.fori_loop(half + 1, K, tap, acc)
+                    dst_ref[pl.ds(r0_, CH), 0:Wb] = acc
+                    return 0
+
+                lax.fori_loop(0, nch, row_chunk, 0)
+            else:
+                CW = 128
+                ncw = Wb // CW
+
+                def col_chunk(cb, _):
+                    c0_ = pl.multiple_of(cb * CW, 128)
+                    x = src_ref[0:Hb, pl.ds(c0_, CW)]
+
+                    def tap(kk, acc):
+                        return acc + pltpu.roll(
+                            x, (half - kk) % Hb, 0
+                        ) * taps_ref[off + kk]
+
+                    acc = x * taps_ref[off + half]
+                    acc = lax.fori_loop(0, half, tap, acc)
+                    acc = lax.fori_loop(half + 1, K, tap, acc)
+                    dst_ref[0:Hb, pl.ds(c0_, CW)] = acc
+                    return 0
+
+                lax.fori_loop(0, ncw, col_chunk, 0)
+
+        def emit(ref, out, s_idx, Hp8=Hp8, Wp128=Wp128):
+            cp = pltpu.make_async_copy(
+                ref.at[pl.ds(0, Hp8), pl.ds(0, Wp128)], out.at[s_idx], osem
+            )
+            cp.start()
+            cp.wait()
+
+        def downsample(src_ref, Hb=Hb, Wb=Wb, o=o):
+            """bufs -> nextbase: y[r', c'] = x[2r', 2c'] via selection matmuls.
+
+            Chunked over 128-lane output columns: out_chunk = ER @ (x @ EC),
+            keeping every temporary chunk-sized (VMEM stack discipline)."""
+            HbN, WbN = geo[o + 1][4], geo[o + 1][5]
+            HN, WN = geo[o + 1][0], geo[o + 1][1]
+            ri = lax.broadcasted_iota(jnp.int32, (HbN, Hb), 0)
+            rj = lax.broadcasted_iota(jnp.int32, (HbN, Hb), 1)
+            ER = ((rj == 2 * ri) & (ri < HN)).astype(jnp.float32)
+            for cb in range(WbN // 128):
+                ci = lax.broadcasted_iota(jnp.int32, (Wb, 128), 0)
+                cj = lax.broadcasted_iota(jnp.int32, (Wb, 128), 1) + cb * 128
+                EC = ((ci == 2 * cj) & (cj < WN)).astype(jnp.float32)
+                t = jnp.dot(src_ref[0:Hb, 0:Wb], EC,
+                            preferred_element_type=jnp.float32)  # (Hb, 128)
+                nextbase[0:HbN, cb * 128 : (cb + 1) * 128] = jnp.dot(
+                    ER, t, preferred_element_type=jnp.float32
+                )
+
+        blur_out = outs[2 * o]
+        dog_out = outs[2 * o + 1]
+        emit(bufs[0], blur_out, 0)           # level 0 = octave base
+        cur, htmp, nxt = 0, 1, 2
+        for lvl in range(n_levels):
+            edge_replicate(bufs[cur])
+            conv_pass(bufs[cur], bufs[htmp], lvl, 1)   # horizontal
+            edge_replicate(bufs[htmp])
+            conv_pass(bufs[htmp], bufs[nxt], lvl, 0)   # vertical
+            emit(bufs[nxt], blur_out, lvl + 1)
+            # DoG staged through the (now idle) horizontal-pass buffer,
+            # subtracted in row chunks (VMEM stack discipline)
+            def dog_chunk(rb, _, a=bufs[nxt], b=bufs[cur], d=bufs[htmp],
+                          Hb=Hb, Wb=Wb):
+                r0_ = pl.multiple_of(rb * 8, 8)
+                d[pl.ds(r0_, 8), 0:Wb] = (
+                    a[pl.ds(r0_, 8), 0:Wb] - b[pl.ds(r0_, 8), 0:Wb]
+                )
+                return 0
+
+            lax.fori_loop(0, Hb // 8, dog_chunk, 0)
+            emit(bufs[htmp], dog_out, lvl)
+            if lvl == scales - 1 and o + 1 < len(geo):
+                downsample(bufs[nxt])        # level `scales`, before overwrite
+            cur, nxt = nxt, cur
+
+        if o + 1 < len(geo):
+            HbN, WbN = geo[o + 1][4], geo[o + 1][5]
+            bufs[0][0:HbN, 0:WbN] = nextbase[0:HbN, 0:WbN]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_key", "interpret"))
+def _run(base0_blur, taps_flat, cfg_key, interpret):
+    (h0, w0, n_oct, tap_offsets, tap_sizes, n_levels, scales) = cfg_key
+    h1, w1 = h0 // 2, w0 // 2
+    geo = _geometry(h1, w1, n_oct)
+    Hb, Wb = geo[0][4], geo[0][5]
+    HbN = geo[1][4] if n_oct > 1 else 8
+    WbN = geo[1][5] if n_oct > 1 else 128
+    out_shapes = []
+    for (H, W, Hp8, Wp128, _, _) in geo:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_levels + 1, Hp8, Wp128), jnp.float32)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_levels, Hp8, Wp128), jnp.float32)
+        )
+    # pad the source so every 256-lane DMA chunk of the in-kernel
+    # downsample stays in bounds
+    h0p8 = _round_up(h0, 8)
+    w0pad = max(_round_up(w0, 128), 2 * geo[0][5])
+    base_pad = jnp.pad(base0_blur, ((0, h0p8 - h0), (0, w0pad - w0)))
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            geo=geo,
+            tap_offsets=tap_offsets,
+            tap_sizes=tap_sizes,
+            n_levels=n_levels,
+            scales=scales,
+            h0p8=h0p8,
+        ),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.ANY) for _ in out_shapes
+        ),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM((Hb, Wb), jnp.float32),
+            pltpu.VMEM((Hb, Wb), jnp.float32),
+            pltpu.VMEM((Hb, Wb), jnp.float32),
+            pltpu.VMEM((HbN, WbN), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(taps_flat, base_pad)
+    return outs
+
+
+def small_octaves_ladder(
+    base0_blur: jnp.ndarray,
+    increments: Sequence[float],
+    n_oct: int,
+    scales: int,
+    interpret: bool = False,
+) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Blur/DoG stacks for octaves >= 1 in ONE kernel launch.
+
+    base0_blur: (H0, W0) f32 — octave 0's level-`scales` blur plane; the 2x
+    downsample to the first small octave happens IN the kernel (XLA strided
+    slices are pathological on this platform).
+    increments: per-level Gaussian sigma increments (len = scales + 2).
+    Returns [(blurs (S+3, H, W), dogs (S+2, H, W)), ...] per octave.
+    """
+    from ...oracle import gaussian_kernel
+
+    taps_list = [gaussian_kernel(s) for s in increments]
+    offsets, sizes = [], []
+    off = 0
+    for t in taps_list:
+        offsets.append(off)
+        sizes.append(len(t))
+        off += len(t)
+    taps_flat = jnp.asarray(np.concatenate(taps_list), dtype=jnp.float32)
+    h0, w0 = base0_blur.shape
+    cfg_key = (
+        h0, w0, n_oct, tuple(offsets), tuple(sizes), len(taps_list), scales
+    )
+    outs = _run(base0_blur, taps_flat, cfg_key, interpret)
+    geo = _geometry(h0 // 2, w0 // 2, n_oct)
+    result = []
+    for o, (H, W, _, _, _, _) in enumerate(geo):
+        blurs = outs[2 * o][:, :H, :W]
+        dogs = outs[2 * o + 1][:, :H, :W]
+        result.append((blurs, dogs))
+    return result

@@ -52,43 +52,65 @@ def _at(plane, rr, cc):
     return jnp.sum(jnp.where(oh, plane, 0.0))
 
 
+KP_BLOCK = 8  # candidates per grid step (amortizes step overhead, overlaps DMA)
+
+
+def _window_copy(dogs_hbm, s, r, c, dest, sem):
+    """Async copy of the (3, ROWS, COLS) aligned DoG window for (s, r, c)."""
+    rp = r - 6 + PAD_R
+    cp = c - 6 + PAD_C
+    ra = pl.multiple_of((rp // 8) * 8, 8)
+    ca = pl.multiple_of((cp // 128) * 128, 128)
+    return pltpu.make_async_copy(
+        dogs_hbm.at[pl.ds(s - 1, 3), pl.ds(ra, ROWS), pl.ds(ca, COLS)],
+        dest, sem,
+    )
+
+
 def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
             fs_out, fr_out, fc_out, peak_out, acc_out,
-            win, sem, *, H, W, bd, peak_thresh, max_moves, n_moves_border):
+            win, sems, *, H, W, bd, peak_thresh, max_moves):
     i = pl.program_id(0)
-    ok_slot = valid_ref[i] > 0
+    for j in range(KP_BLOCK):
+        k = i * KP_BLOCK + j
 
-    @pl.when(jnp.logical_not(ok_slot))
-    def _():
-        fs_out[i] = 0.0
-        fr_out[i] = 0.0
-        fc_out[i] = 0.0
-        peak_out[i] = 0.0
-        acc_out[i] = 0
+        @pl.when(valid_ref[k] > 0)
+        def _(j=j, k=k):
+            _window_copy(dogs_hbm, s_ref[k], r_ref[k], c_ref[k],
+                         win.at[j], sems.at[j]).start()
 
-    @pl.when(ok_slot)
-    def _():
-        s = s_ref[i]
-        r = r_ref[i]
-        c = c_ref[i]
-        # aligned fetch origin; residual lands in local coordinates
+    def body(j, carry):
+        k = i * KP_BLOCK + j
+        ok_slot = valid_ref[k] > 0
+
+        @pl.when(jnp.logical_not(ok_slot))
+        def _():
+            fs_out[k] = 0.0
+            fr_out[k] = 0.0
+            fc_out[k] = 0.0
+            peak_out[k] = 0.0
+            acc_out[k] = 0
+
+        @pl.when(ok_slot)
+        def _():
+            _one(j, k)
+
+        return carry
+
+    def _one(j, k):
+        s = s_ref[k]
+        r = r_ref[k]
+        c = c_ref[k]
+        _window_copy(dogs_hbm, s, r, c, win.at[j], sems.at[j]).wait()
+        # local coords of the candidate center inside the window
         rp = r - 6 + PAD_R
         cp = c - 6 + PAD_C
-        ra = pl.multiple_of((rp // 8) * 8, 8)
-        ca = pl.multiple_of((cp // 128) * 128, 128)
-        cp_ = pltpu.make_async_copy(
-            dogs_hbm.at[pl.ds(s - 1, 3), pl.ds(ra, ROWS), pl.ds(ca, COLS)],
-            win, sem,
-        )
-        cp_.start()
-        cp_.wait()
-        # local coords of the candidate center inside the window
-        lr0 = rp - ra + 6
-        lc0 = cp - ca + 6
+        lr0 = rp - (rp // 8) * 8 + 6
+        lc0 = cp - (cp // 128) * 128 + 6
 
-        w0 = win[0]
-        w1 = win[1]
-        w2 = win[2]
+        w0 = win[j, 0]
+        w1 = win[j, 1]
+        w2 = win[j, 2]
 
         def sh(x, dr, dc):
             # pltpu.roll requires non-negative shifts; -d == size - d
@@ -124,7 +146,7 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
                  + (a * d_ - b_ * b_) * gc) * inv
         peak = w1 + 0.5 * (gs * offs + gr * offr + gc * offc)
 
-        def body(_, st):
+        def move(_, st):
             lr, lc = st
             o_r = _at(offr, lr, lc)
             o_c = _at(offc, lr, lc)
@@ -141,7 +163,7 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
             lc = jnp.where(converged, lc, lc + dc)
             return (lr, lc)
 
-        lr, lc = lax.fori_loop(0, max_moves, body, (lr0, lc0))
+        lr, lc = lax.fori_loop(0, max_moves, move, (lr0, lc0))
         v_s = _at(offs, lr, lc)
         v_r = _at(offr, lr, lc)
         v_c = _at(offc, lr, lc)
@@ -154,11 +176,13 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
             & (jnp.abs(v_r) <= 1.5)
             & (jnp.abs(v_c) <= 1.5)
         )
-        fs_out[i] = s.astype(jnp.float32) + v_s
-        fr_out[i] = (r + (lr - lr0)).astype(jnp.float32) + v_r
-        fc_out[i] = (c + (lc - lc0)).astype(jnp.float32) + v_c
-        peak_out[i] = v_p
-        acc_out[i] = accept.astype(jnp.int32)
+        fs_out[k] = s.astype(jnp.float32) + v_s
+        fr_out[k] = (r + (lr - lr0)).astype(jnp.float32) + v_r
+        fc_out[k] = (c + (lc - lc0)).astype(jnp.float32) + v_c
+        peak_out[k] = v_p
+        acc_out[k] = accept.astype(jnp.int32)
+
+    lax.fori_loop(0, KP_BLOCK, body, 0)
 
 
 @functools.partial(
@@ -180,16 +204,17 @@ def refine_pallas(
 ):
     """Refine candidates; returns (fs, fr, fc, peak, accept) each (cap,)."""
     cap = s.shape[0]
+    assert cap % KP_BLOCK == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(cap,),
+        grid=(cap // KP_BLOCK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(5)
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, ROWS, COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((KP_BLOCK, 3, ROWS, COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((KP_BLOCK,)),
         ],
     )
     outs = pl.pallas_call(
@@ -198,7 +223,6 @@ def refine_pallas(
             H=H, W=W, bd=bd,
             peak_thresh=float(peak_thresh),
             max_moves=max_moves,
-            n_moves_border=0,
         ),
         grid_spec=grid_spec,
         out_shape=(

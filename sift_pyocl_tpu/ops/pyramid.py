@@ -141,11 +141,34 @@ def build_octave_jax(
 def build_scale_space_jax(
     img: jnp.ndarray, cfg: SiftConfig
 ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
-    """All octaves as a Python-unrolled (trace-time) list of static shapes."""
+    """All octaves as a Python-unrolled (trace-time) list of static shapes.
+
+    On the Pallas path, octave 0 uses the tiled per-level blur kernel and all
+    remaining octaves come from ONE fused ladder launch (they fit in VMEM;
+    per-launch overhead would otherwise dominate — SURVEY.md §7.2).
+    """
+    backend = cfg.conv_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     base = prepare_input_jax(img, cfg)
-    octaves = []
-    for _ in range(cfg.n_octaves(img.shape[:2])):
-        blurs, dogs = build_octave_jax(base, cfg)
-        octaves.append((blurs, dogs))
-        base = blurs[cfg.scales, ::2, ::2]
+    n_oct = cfg.n_octaves(img.shape[:2])
+    blurs0, dogs0 = build_octave_jax(base, cfg)
+    octaves = [(blurs0, dogs0)]
+    if n_oct > 1:
+        if backend == "pallas":
+            from .pallas.ladder import small_octaves_ladder
+
+            # hand the kernel the full-resolution plane: the 2x downsample
+            # happens in-kernel (XLA strided slices cost ~4.5 ms at 1080p
+            # on this platform)
+            octaves += small_octaves_ladder(
+                blurs0[cfg.scales], cfg.sigma_increments(),
+                n_oct - 1, cfg.scales,
+            )
+        else:
+            b = blurs0[cfg.scales, ::2, ::2]
+            for _ in range(1, n_oct):
+                blurs, dogs = build_octave_jax(b, cfg)
+                octaves.append((blurs, dogs))
+                b = blurs[cfg.scales, ::2, ::2]
     return octaves
