@@ -30,22 +30,58 @@ class MatchPlan:
     """
 
     def __init__(self, size: int = 16384, devicetype: str = "TPU",
-                 ratio_th: float = 0.5329, metric: str = "L1", **_ignored):
+                 ratio_th: float = 0.5329, metric: str = "L1",
+                 match_xradius: Optional[float] = None,
+                 match_yradius: Optional[float] = None, **_ignored):
         self.size = size
         self.ratio_th = float(ratio_th)
         self.metric = metric
+        # reference: par.MatchXradius / par.MatchYradius spatial gating
+        self.match_xradius = match_xradius
+        self.match_yradius = match_yradius
+        self.roi = None
+
+    def set_roi(self, roi: np.ndarray):
+        """Restrict set-1 keypoints to a region of interest
+        (reference: match.py::MatchPlan.set_roi — nonzero mask image)."""
+        self.roi = None if roi is None else np.asarray(roi) != 0
+
+    def unset_roi(self):
+        self.roi = None
+
+    def _roi_mask(self, kp: np.ndarray) -> np.ndarray:
+        if self.roi is None:
+            return np.ones(len(kp), dtype=bool)
+        r = np.clip(kp["y"].astype(int), 0, self.roi.shape[0] - 1)
+        c = np.clip(kp["x"].astype(int), 0, self.roi.shape[1] - 1)
+        return self.roi[r, c]
 
     def match_index(self, kp1: np.ndarray, kp2: np.ndarray) -> np.ndarray:
         """(M, 2) int32 indices of matches between two KP_DTYPE arrays."""
         if len(kp1) == 0 or len(kp2) == 0:
             return np.zeros((0, 2), dtype=np.int32)
+        kwargs = {}
+        if self.match_xradius is not None or self.match_yradius is not None:
+            kwargs = dict(
+                xy1=jnp.stack(
+                    [jnp.asarray(kp1["x"]), jnp.asarray(kp1["y"])], axis=1
+                ),
+                xy2=jnp.stack(
+                    [jnp.asarray(kp2["x"]), jnp.asarray(kp2["y"])], axis=1
+                ),
+                xy_radius=(
+                    float(self.match_xradius or np.inf),
+                    float(self.match_yradius or np.inf),
+                ),
+            )
         res = match_descriptors_jax(
             jnp.asarray(kp1["desc"]),
-            jnp.ones(len(kp1), dtype=bool),
+            jnp.asarray(self._roi_mask(kp1)),
             jnp.asarray(kp2["desc"]),
             jnp.ones(len(kp2), dtype=bool),
             metric=self.metric,
             ratio_sq=self.ratio_th,
+            **kwargs,
         )
         m = np.asarray(res.valid)
         return np.stack(

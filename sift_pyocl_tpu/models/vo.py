@@ -1,0 +1,233 @@
+"""Fused visual-odometry step: SIFT + matching + PnP + windowed BA, one jit.
+
+This is the framework's flagship end-to-end model and the north-star metric
+(BASELINE.md: "end-to-end SIFT+matching+BA at >= 60 frames/s per v5e chip at
+1080p").  The reference has no VO/SfM loop (SURVEY.md §2.3 — `LinearAlign`
+is its closest analog, reference: sift-src/alignment.py); this subsystem is
+specified by BASELINE.json's north star, built TPU-first:
+
+  * ONE compiled program per frame — detection, descriptor matching, robust
+    pose estimation and a windowed bundle-adjustment iteration all run on
+    device with static shapes; no host round-trips inside the loop (each
+    dispatch costs ~10-40 ms through this platform's tunnel).
+  * All sliding-window state is laid out in per-frame BLOCKS that roll along
+    the window axis (concatenate + static writes), never scattered: map
+    points, their descriptors and observations each live in (W, ...) arrays
+    whose slot index doubles as the BA camera id.  When the window rolls,
+    stored point ids just shift by -PN (vectorized arithmetic), and ids that
+    fall off the window get weight 0.
+  * Selection (which matches feed PnP/BA, which keypoints spawn map points)
+    uses top_k over dense masks — the scatter-free idiom of this codebase.
+
+Per step:
+  1. detect_and_describe(frame)                     [Pallas SIFT frontend]
+  2. ratio-test match vs the window map descriptors [MXU all-pairs matcher]
+  3. robust pose-only refinement from 2D-3D matches [Huber IRLS Gauss-Newton]
+  4. roll window; new obs block; spawn PN new map points by back-projection
+     at the matched median depth (refined by BA in subsequent frames)
+  5. one damped Schur/CG BA iteration over the window [sfm.ba.lm_iteration]
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import SiftConfig
+from ..ops.match import match_descriptors_dense
+from ..sfm.ba import BAObs, BAParams, lm_iteration
+from ..sfm.pnp import pnp_refine
+from .sift import KeypointBuffer, detect_and_describe
+
+
+class VOConfig(NamedTuple):
+    window: int = 8          # sliding window size W (cameras in BA)
+    pts_per_frame: int = 256  # PN: new map points spawned per frame
+    obs_per_frame: int = 512  # OBS_F: observations kept per frame
+    pnp_n: int = 512          # matches fed to pose refinement
+    pnp_iters: int = 8
+    cg_iters: int = 8
+    huber_px: float = 3.0
+    ratio_sq: float = 0.7     # looser than Lowe 0.5329: VO re-sees its map
+    match_metric: str = "L2"
+
+
+class VOState(NamedTuple):
+    Rs: jnp.ndarray       # (W,3,3) world->cam per window slot (slot = cam id)
+    ts: jnp.ndarray       # (W,3)
+    X: jnp.ndarray        # (W,PN,3) map points, blocked by source frame
+    Xvalid: jnp.ndarray   # (W,PN) f32 0/1
+    Xdesc: jnp.ndarray    # (W,PN,128) uint8
+    obs_uv: jnp.ndarray   # (W,OBS_F,2)
+    obs_pt: jnp.ndarray   # (W,OBS_F) int32 flat map id (slot*PN+local), -1 pad
+    obs_w: jnp.ndarray    # (W,OBS_F) f32
+    lam: jnp.ndarray      # () f32 LM damping carried across frames
+    frame: jnp.ndarray    # () int32
+
+
+class VOOut(NamedTuple):
+    R: jnp.ndarray        # (3,3) latest pose
+    t: jnp.ndarray        # (3,)
+    n_kp: jnp.ndarray     # () int32
+    n_matches: jnp.ndarray
+    rms_px: jnp.ndarray   # () f32 PnP inlier RMS
+    ba_cost: jnp.ndarray  # () f32 robust BA cost after the iteration
+
+
+def _kp_xy(buf: KeypointBuffer) -> jnp.ndarray:
+    return jnp.stack([buf.x, buf.y], axis=-1)
+
+
+def _backproject(K, R, t, uv, depth):
+    """World point for pixel uv at camera depth `depth`."""
+    d = jnp.stack(
+        [(uv[..., 0] - K[0, 2]) / K[0, 0], (uv[..., 1] - K[1, 2]) / K[1, 1],
+         jnp.ones_like(uv[..., 0])], axis=-1,
+    )
+    Xc = d * depth[..., None]
+    return (Xc - t) @ R  # R^T (Xc - t)
+
+
+def vo_init(frame0: jnp.ndarray, K: jnp.ndarray, cfg: SiftConfig,
+            vo: VOConfig, init_depth: float = 5.0) -> VOState:
+    """Bootstrap: frame 0 at identity; its strongest keypoints seed the map
+    at a nominal depth (BA shapes the cloud as the window fills)."""
+    W, PN, OBS_F = vo.window, vo.pts_per_frame, vo.obs_per_frame
+    assert OBS_F >= PN, "obs_per_frame must cover the spawned points"
+    buf = detect_and_describe(frame0, cfg)
+    score = jnp.where(buf.valid, buf.scale, -jnp.inf)
+    _, sel = lax.top_k(score, PN)
+    ok = buf.valid[sel].astype(jnp.float32)
+    uv = _kp_xy(buf)[sel]
+    R0 = jnp.eye(3, dtype=jnp.float32)
+    t0 = jnp.zeros(3, dtype=jnp.float32)
+    X0 = _backproject(K, R0, t0, uv, jnp.full((PN,), init_depth))
+    st = VOState(
+        Rs=jnp.broadcast_to(R0, (W, 3, 3)).copy(),
+        ts=jnp.zeros((W, 3), jnp.float32),
+        X=jnp.zeros((W, PN, 3), jnp.float32).at[W - 1].set(X0),
+        Xvalid=jnp.zeros((W, PN), jnp.float32).at[W - 1].set(ok),
+        Xdesc=jnp.zeros((W, PN, 128), jnp.uint8).at[W - 1].set(buf.desc[sel]),
+        obs_uv=jnp.zeros((W, OBS_F, 2), jnp.float32).at[W - 1, :PN].set(uv),
+        obs_pt=jnp.full((W, OBS_F), -1, jnp.int32)
+        .at[W - 1, :PN].set((W - 1) * PN + jnp.arange(PN, dtype=jnp.int32)),
+        obs_w=jnp.zeros((W, OBS_F), jnp.float32).at[W - 1, :PN].set(ok),
+        lam=jnp.float32(1e-3),
+        frame=jnp.int32(1),
+    )
+    return st
+
+
+@partial(jax.jit, static_argnames=("cfg", "vo"))
+def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
+            cfg: SiftConfig, vo: VOConfig) -> Tuple[VOState, VOOut]:
+    """One fused VO frame: detect -> match -> PnP -> roll -> BA iteration."""
+    W, PN, OBS_F = vo.window, vo.pts_per_frame, vo.obs_per_frame
+    P = W * PN
+
+    # 1. SIFT frontend
+    buf = detect_and_describe(frame, cfg)
+    kp_uv = _kp_xy(buf)
+    n_kp = jnp.sum(buf.valid.astype(jnp.int32))
+
+    # 2. match new descriptors against the window map
+    map_desc = state.Xdesc.reshape(P, 128)
+    map_valid = state.Xvalid.reshape(P) > 0
+    keep, map_id, dist = match_descriptors_dense(
+        buf.desc, buf.valid, map_desc, map_valid,
+        metric=vo.match_metric, ratio_sq=vo.ratio_sq,
+    )
+    n_matches = jnp.sum(keep.astype(jnp.int32))
+
+    # 3. robust pose refinement on the best pnp_n matches (top_k by distance)
+    score = jnp.where(keep, -dist, -jnp.inf)
+    _, sel = lax.top_k(score, vo.pnp_n)
+    w_sel = keep[sel].astype(jnp.float32)
+    uv_sel = kp_uv[sel]
+    X_sel = state.X.reshape(P, 3)[map_id[sel]]
+    R_prev = state.Rs[W - 1]
+    t_prev = state.ts[W - 1]
+    R_new, t_new, rms = pnp_refine(
+        K, R_prev, t_prev, X_sel, uv_sel, w_sel,
+        iters=vo.pnp_iters, huber_px=vo.huber_px,
+    )
+
+    # 4a. roll the window; stored ids shift one frame down
+    Rs = jnp.concatenate([state.Rs[1:], R_new[None]], axis=0)
+    ts = jnp.concatenate([state.ts[1:], t_new[None]], axis=0)
+    obs_pt_shift = state.obs_pt - PN          # ids < 0 fell off the window
+    obs_w_old = state.obs_w * (obs_pt_shift >= 0)
+    obs_pt_old = jnp.maximum(obs_pt_shift, 0)
+
+    # 4b. new observation block: best OBS_F matched keypoints of this frame
+    _, osel = lax.top_k(score, OBS_F)
+    ow = keep[osel].astype(jnp.float32)
+    ouv = kp_uv[osel]
+    opt = jnp.maximum(map_id[osel] - PN, 0)
+    ow = ow * (map_id[osel] - PN >= 0)
+    obs_uv = jnp.concatenate([state.obs_uv[1:], ouv[None]], axis=0)
+    obs_pt = jnp.concatenate([obs_pt_old[1:], opt[None]], axis=0)
+    obs_w = jnp.concatenate([obs_w_old[1:], ow[None]], axis=0)
+
+    # 4c. spawn PN new map points from strong unmatched keypoints,
+    #     back-projected at the median matched depth
+    Xc_sel = X_sel @ R_new.T + t_new
+    depths = jnp.where(w_sel > 0, Xc_sel[:, 2], jnp.nan)
+    med_depth = jnp.nan_to_num(jnp.nanmedian(depths), nan=5.0)
+    med_depth = jnp.clip(med_depth, 0.5, 100.0)
+    new_score = jnp.where(buf.valid & ~keep, buf.scale, -jnp.inf)
+    _, nsel = lax.top_k(new_score, PN)
+    nok = (buf.valid & ~keep)[nsel].astype(jnp.float32)
+    nuv = kp_uv[nsel]
+    Xnew = _backproject(K, R_new, t_new, nuv, jnp.full((PN,), med_depth))
+    X = jnp.concatenate([state.X[1:], Xnew[None]], axis=0)
+    Xvalid = jnp.concatenate([state.Xvalid[1:], nok[None]], axis=0)
+    Xdesc = jnp.concatenate([state.Xdesc[1:], buf.desc[nsel][None]], axis=0)
+    # the spawning frame observes its new points too
+    self_uv = nuv
+    self_pt = (W - 1) * PN + jnp.arange(PN, dtype=jnp.int32)
+    # append into the tail of the new obs block (OBS_F >= PN slots assumed
+    # to leave room: overwrite the weakest half if needed)
+    obs_uv = obs_uv.at[W - 1, OBS_F - PN :].set(self_uv)
+    obs_pt = obs_pt.at[W - 1, OBS_F - PN :].set(self_pt)
+    obs_w = obs_w.at[W - 1, OBS_F - PN :].set(nok)
+
+    # 5. one windowed BA iteration (oldest camera gauge-fixed)
+    params = BAParams(Rs, ts, X.reshape(P, 3))
+    cam_ids = jnp.repeat(
+        jnp.arange(W, dtype=jnp.int32)[:, None], OBS_F, axis=1
+    ).reshape(-1)
+    obs = BAObs(
+        uv=obs_uv.reshape(-1, 2),
+        cam=cam_ids,
+        pt=obs_pt.reshape(-1),
+        w=obs_w.reshape(-1) * Xvalid.reshape(P)[obs_pt.reshape(-1)],
+    )
+    free = jnp.arange(W) > 0
+    params2, lam2, cost, _ = lm_iteration(
+        params, obs, K, state.lam, free,
+        huber_px=vo.huber_px, cg_iters=vo.cg_iters, n_points=P,
+    )
+
+    new_state = VOState(
+        Rs=params2.Rs,
+        ts=params2.ts,
+        X=params2.X.reshape(W, PN, 3),
+        Xvalid=Xvalid,
+        Xdesc=Xdesc,
+        obs_uv=obs_uv,
+        obs_pt=obs_pt,
+        obs_w=obs_w,
+        lam=lam2,
+        frame=state.frame + 1,
+    )
+    out = VOOut(
+        R=params2.Rs[W - 1], t=params2.ts[W - 1],
+        n_kp=n_kp, n_matches=n_matches, rms_px=rms, ba_cost=cost,
+    )
+    return new_state, out

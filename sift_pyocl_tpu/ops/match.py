@@ -92,6 +92,32 @@ def _best2_l2(desc1: jnp.ndarray, desc2: jnp.ndarray, valid2: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("metric", "ratio_sq"))
+def match_descriptors_dense(
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    metric: str = "L2",
+    ratio_sq: float = 0.5329,
+):
+    """Per-slot (uncompacted) ratio-test matching.
+
+    Returns (keep (N1,) bool, idx2 (N1,) int32, dist (N1,) f32) aligned with
+    desc1's slots — the scatter-free form used by the fused VO step, where
+    downstream selection happens with top_k instead of nonzero.
+    """
+    if metric == "L1":
+        d1, d2, i1 = _best2_l1(desc1, desc2, valid2)
+    elif metric == "L2":
+        d1, d2, i1 = _best2_l2(desc1, desc2, valid2)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    finite = d2 < jnp.float32(INT_MAX)
+    keep = valid1 & finite & (d2 > 0) & (d1 < ratio_sq * d2)
+    return keep, i1, d1
+
+
+@partial(jax.jit, static_argnames=("metric", "ratio_sq", "xy_radius"))
 def match_descriptors_jax(
     desc1: jnp.ndarray,
     valid1: jnp.ndarray,
@@ -99,6 +125,9 @@ def match_descriptors_jax(
     valid2: jnp.ndarray,
     metric: str = "L1",
     ratio_sq: float = 0.5329,
+    xy1: jnp.ndarray = None,
+    xy2: jnp.ndarray = None,
+    xy_radius: Tuple[float, float] = None,
 ) -> MatchResult:
     """Ratio-test matching into a static-capacity pair buffer.
 
@@ -106,6 +135,11 @@ def match_descriptors_jax(
     the two smallest distances d1<=d2 among valid rows of desc2; keep if
     d2 > 0 and d1 < ratio_sq * d2.  Capacity = len(desc1) (each query yields
     at most one match, so this never overflows).
+
+    xy_radius=(xr, yr) with xy1/xy2 (N,2) enables the reference's spatial
+    gating (reference: matching*.cl MatchXradius/MatchYradius): a pair only
+    counts if |x1-x2| < xr and |y1-y2| < yr, applied to the BEST match like
+    the reference (candidate ranking itself is by descriptor distance).
     """
     if metric == "L1":
         d1, d2, i1 = _best2_l1(desc1, desc2, valid2)
@@ -115,6 +149,9 @@ def match_descriptors_jax(
         raise ValueError(f"unknown metric {metric!r}")
     finite = d2 < jnp.float32(INT_MAX)  # at least two valid candidates
     keep = valid1 & finite & (d2 > 0) & (d1 < ratio_sq * d2)
+    if xy_radius is not None:
+        dxy = jnp.abs(xy1 - xy2[i1])
+        keep = keep & (dxy[:, 0] < xy_radius[0]) & (dxy[:, 1] < xy_radius[1])
     cap = desc1.shape[0]
     count = jnp.sum(keep.astype(jnp.int32))
     (sel,) = jnp.nonzero(keep, size=cap, fill_value=-1)

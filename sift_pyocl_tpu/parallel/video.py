@@ -31,8 +31,14 @@ def make_frames_mesh(n_devices: Optional[int] = None, axis: str = "frames") -> M
 
 
 def batched_sift(frames: jnp.ndarray, cfg: SiftConfig) -> KeypointBuffer:
-    """vmapped detect+describe over a (B, H, W) frame batch (single device)."""
-    return jax.vmap(lambda f: detect_and_describe(f, cfg))(frames)
+    """detect+describe over a (B, H, W) frame batch on one device.
+
+    Sequential `lax.map` rather than vmap: the Pallas keypoint kernels use
+    ANY-memory-space operands which Mosaic cannot batch, and a video stream
+    is processed frame-serially per device anyway (throughput comes from the
+    mesh's frame axis, not intra-device batching).
+    """
+    return jax.lax.map(lambda f: detect_and_describe(f, cfg), frames)
 
 
 def sharded_sift_fn(mesh: Mesh, cfg: SiftConfig, axis: str = "frames"):

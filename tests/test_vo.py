@@ -1,0 +1,88 @@
+"""Fused VO step: tracking on a translating synthetic scene (CPU backend).
+
+The VO model is the BASELINE.json north-star composition (SIFT + matching +
+PnP + windowed BA in one jit); no reference counterpart (SURVEY.md §2.3).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sift_pyocl_tpu import SiftConfig
+from sift_pyocl_tpu.models.vo import VOConfig, VOState, vo_init, vo_step
+from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+
+def test_vo_tracks_translation():
+    cfg = SiftConfig(kp_per_octave_cap=256)
+    vo = VOConfig(window=4, pts_per_frame=64, obs_per_frame=128,
+                  pnp_n=128, pnp_iters=6, cg_iters=5)
+    H, W = 160, 160
+    base = synthetic_scene((H + 48, W + 48), n_blobs=40, seed=0)
+
+    def frame_at(dx):
+        return jnp.asarray(base[24 : 24 + H, 24 + dx : 24 + dx + W])
+
+    K = jnp.asarray(
+        [[200.0, 0, W / 2], [0, 200.0, H / 2], [0, 0, 1.0]], jnp.float32
+    )
+    st = vo_init(frame_at(0), K, cfg, vo)
+    assert isinstance(st, VOState)
+    ts = []
+    for i in range(1, 4):
+        st, out = vo_step(st, frame_at(2 * i), K, cfg, vo)
+        assert int(out.n_matches) > 10
+        assert float(out.rms_px) < 2.0
+        assert np.isfinite(float(out.ba_cost))
+        ts.append(np.asarray(out.t))
+    # motion is detected (a planar scene at a nominal depth is degenerate
+    # for windowed BA, so only "some motion recovered, poses stay sane" is
+    # asserted here; metric accuracy is covered by the SfM pipeline tests)
+    assert any(np.linalg.norm(t) > 1e-3 for t in ts)
+    assert all(np.linalg.norm(t) < 1.0 for t in ts)
+    # state invariants
+    assert st.X.shape == (4, 64, 3)
+    assert int(st.frame) == 4
+
+
+def test_match_xy_radius_gating():
+    from sift_pyocl_tpu.ops.match import match_descriptors_jax
+
+    rng = np.random.default_rng(0)
+    d = rng.integers(0, 255, (32, 128)).astype(np.uint8)
+    xy1 = rng.uniform(0, 100, (32, 2)).astype(np.float32)
+    # set2 = same descriptors (perfect matches) at shifted positions
+    xy2 = xy1 + np.array([5.0, 0.0], np.float32)
+    v = jnp.ones(32, bool)
+    loose = match_descriptors_jax(
+        jnp.asarray(d), v, jnp.asarray(d), v, metric="L1", ratio_sq=0.9,
+        xy1=jnp.asarray(xy1), xy2=jnp.asarray(xy2), xy_radius=(10.0, 10.0),
+    )
+    tight = match_descriptors_jax(
+        jnp.asarray(d), v, jnp.asarray(d), v, metric="L1", ratio_sq=0.9,
+        xy1=jnp.asarray(xy1), xy2=jnp.asarray(xy2), xy_radius=(2.0, 10.0),
+    )
+    assert int(loose.count) > 0
+    assert int(tight.count) == 0  # every true pair is 5 px apart in x
+
+
+def test_matchplan_roi():
+    from sift_pyocl_tpu import MatchPlan
+    from sift_pyocl_tpu.oracle import KP_DTYPE
+
+    rng = np.random.default_rng(1)
+    n = 24
+    kp = np.zeros(n, dtype=KP_DTYPE)
+    kp["x"] = rng.uniform(0, 100, n)
+    kp["y"] = rng.uniform(0, 100, n)
+    kp["desc"] = rng.integers(0, 255, (n, 128))
+    mp = MatchPlan(ratio_th=0.95)
+    full = mp.match_index(kp, kp)
+    roi = np.zeros((101, 101), dtype=np.uint8)
+    roi[:, :50] = 1  # keep only left-half keypoints of set 1
+    mp.set_roi(roi)
+    part = mp.match_index(kp, kp)
+    left = (kp["x"] < 50).sum()
+    assert len(full) == n
+    assert len(part) == left
+    mp.unset_roi()
+    assert len(mp.match_index(kp, kp)) == n
