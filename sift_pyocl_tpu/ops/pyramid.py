@@ -91,22 +91,33 @@ def blur(img: jnp.ndarray, sigma: float, backend: str = "auto") -> jnp.ndarray:
     return blur_jax(img, sigma)
 
 
+def _upsample_matrix(n: int) -> np.ndarray:
+    """(2n, n) bilinear interpolation matrix: row 2i -> x[i],
+    row 2i+1 -> (x[i] + x[i+1])/2 (clamped)."""
+    U = np.zeros((2 * n, n), dtype=np.float32)
+    idx = np.arange(n)
+    U[2 * idx, idx] = 1.0
+    nxt = np.minimum(idx + 1, n - 1)
+    U[2 * idx + 1, idx] += 0.5
+    U[2 * idx + 1, nxt] += 0.5
+    return U
+
+
 def upscale2_jax(img: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear 2x upscale (oracle.upscale2), used by DoubleImSize."""
+    """Bilinear 2x upscale (oracle.upscale2), used by DoubleImSize.
+
+    Expressed as two interpolation matmuls (U_r @ img @ U_c^T) rather than
+    gathers: TPU XLA gathers are row-at-a-time and pathologically slow,
+    while banded interpolation matrices ride the MXU.
+    """
     h, w = img.shape
-    ys = jnp.arange(2 * h, dtype=jnp.float32) / 2.0
-    xs = jnp.arange(2 * w, dtype=jnp.float32) / 2.0
-    y0 = jnp.minimum(ys.astype(jnp.int32), h - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x0 = jnp.minimum(xs.astype(jnp.int32), w - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    fy = (ys - y0)[:, None]
-    fx = (xs - x0)[None, :]
-    return (
-        img[jnp.ix_(y0, x0)] * (1 - fy) * (1 - fx)
-        + img[jnp.ix_(y1, x0)] * fy * (1 - fx)
-        + img[jnp.ix_(y0, x1)] * (1 - fy) * fx
-        + img[jnp.ix_(y1, x1)] * fy * fx
+    Ur = jnp.asarray(_upsample_matrix(h))
+    Uc = jnp.asarray(_upsample_matrix(w))
+    up = jax.lax.dot_general(
+        Ur, img, (((1,), (0,)), ((), ())), precision=lax.Precision.HIGHEST
+    )
+    return jax.lax.dot_general(
+        up, Uc, (((1,), (1,)), ((), ())), precision=lax.Precision.HIGHEST
     ).astype(jnp.float32)
 
 
