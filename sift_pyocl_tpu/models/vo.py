@@ -144,9 +144,11 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     )
     n_matches = jnp.sum(keep.astype(jnp.int32))
 
-    # 3. robust pose refinement on the best pnp_n matches (top_k by distance)
+    # 3. robust pose refinement on the best pnp_n matches (approx_max_k:
+    # the TPU-native selection — exact top_k over ~6K slots costs ~1 ms,
+    # and any `pnp_n` good matches serve equally well)
     score = jnp.where(keep, -dist, -jnp.inf)
-    _, sel = lax.top_k(score, vo.pnp_n)
+    _, sel = lax.approx_max_k(score, vo.pnp_n)
     w_sel = keep[sel].astype(jnp.float32)
     uv_sel = kp_uv[sel]
     X_sel = state.X.reshape(P, 3)[map_id[sel]]
@@ -165,7 +167,7 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     obs_pt_old = jnp.maximum(obs_pt_shift, 0)
 
     # 4b. new observation block: best OBS_F matched keypoints of this frame
-    _, osel = lax.top_k(score, OBS_F)
+    _, osel = lax.approx_max_k(score, OBS_F)
     ow = keep[osel].astype(jnp.float32)
     ouv = kp_uv[osel]
     opt = jnp.maximum(map_id[osel] - PN, 0)
@@ -181,7 +183,7 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     med_depth = jnp.nan_to_num(jnp.nanmedian(depths), nan=5.0)
     med_depth = jnp.clip(med_depth, 0.5, 100.0)
     new_score = jnp.where(buf.valid & ~keep, buf.scale, -jnp.inf)
-    _, nsel = lax.top_k(new_score, PN)
+    _, nsel = lax.approx_max_k(new_score, PN)
     nok = (buf.valid & ~keep)[nsel].astype(jnp.float32)
     nuv = kp_uv[nsel]
     Xnew = _backproject(K, R_new, t_new, nuv, jnp.full((PN,), med_depth))

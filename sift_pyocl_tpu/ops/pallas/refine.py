@@ -52,7 +52,7 @@ def _at(plane, rr, cc):
     return jnp.sum(jnp.where(oh, plane, 0.0))
 
 
-KP_BLOCK = 8  # candidates per grid step (amortizes step overhead, overlaps DMA)
+KP_BLOCK = 8   # candidates per grid step (amortizes step overhead, overlaps DMA)
 
 
 def _window_copy(dogs_hbm, s, r, c, dest, sem):
