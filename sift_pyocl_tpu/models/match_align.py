@@ -138,6 +138,11 @@ class LinearAlign:
         self.sift = SiftPlan(shape=self.shape, config=self.cfg)
         self.match_plan = MatchPlan()
         self.ref_kp = self.sift.keypoints(self.ref_image)
+        # accumulated transform for relative mode (reference: alignment.py
+        # `relative` kwarg — align each frame against the PREVIOUS one and
+        # compose, for drifting video)
+        self._rel_matrix = np.eye(2)
+        self._rel_offset = np.zeros(2)
 
     def align(
         self,
@@ -149,13 +154,30 @@ class LinearAlign:
         orsa: bool = False,
     ):
         """Warp `img` onto the reference frame.  Returns the warped image, or
-        a dict with (result, matrix, offset, matches) when return_all."""
+        a dict with (result, matrix, offset, matches) when return_all.
+
+        double_check: symmetric matching — keep only pairs that also win the
+        reverse-direction ratio test (reference kwarg).
+        relative: fit against the previous frame's keypoints and compose the
+        transform (video stabilization mode; reference kwarg).
+        orsa: accepted for signature parity; the reference never implemented
+        it either (SURVEY.md §2.3) — robust fitting here comes from the
+        ratio test + median/lstsq (and sfm.ransac for full RANSAC).
+        """
+        base_kp = self.ref_kp
         kp = self.sift.keypoints(np.asarray(img))
-        idx = self.match_plan.match_index(self.ref_kp, kp)
+        idx = self.match_plan.match_index(base_kp, kp)
+        if double_check and len(idx):
+            rev = self.match_plan.match_index(kp, base_kp)
+            fwd = {(int(a), int(b)) for a, b in idx}
+            idx = np.array(
+                [[b, a] for a, b in rev if (int(b), int(a)) in fwd],
+                dtype=np.int32,
+            ).reshape(-1, 2)
         if len(idx) < (1 if shift_only else 3):
             return None
         p_ref = np.stack(
-            [self.ref_kp["y"][idx[:, 0]], self.ref_kp["x"][idx[:, 0]]], axis=1
+            [base_kp["y"][idx[:, 0]], base_kp["x"][idx[:, 0]]], axis=1
         )
         p_img = np.stack([kp["y"][idx[:, 1]], kp["x"][idx[:, 1]]], axis=1)
         # the warp samples img at M @ (ref coords) + offset, so fit the
@@ -167,6 +189,17 @@ class LinearAlign:
             offset = np.median(p_img - p_ref, axis=0)
         else:
             matrix, offset = fit_affine(p_img, p_ref)
+        if relative:
+            # the fit maps previous-frame coords -> img; compose with the
+            # accumulated ref -> previous transform, and make this frame the
+            # next anchor:  p_img = A (A_acc p_ref + b_acc) + b
+            matrix, offset = (
+                np.asarray(matrix) @ self._rel_matrix,
+                np.asarray(matrix) @ self._rel_offset + np.asarray(offset),
+            )
+            self._rel_matrix = np.asarray(matrix)
+            self._rel_offset = np.asarray(offset)
+            self.ref_kp = kp
         warped = np.asarray(
             affine_warp_jax(
                 jnp.asarray(img, dtype=jnp.float32),

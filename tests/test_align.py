@@ -30,3 +30,29 @@ def test_align_shift_only(small_cfg):
     interior = (slice(16, -16), slice(16, -16))
     err = np.abs(out["result"][interior] - ref[interior])
     assert np.median(err) < 2.0
+
+
+def test_align_double_check_and_relative():
+    """double_check = symmetric matching; relative = compose across frames
+    (reference: alignment.py kwargs)."""
+    import numpy as np
+    from sift_pyocl_tpu import LinearAlign
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    base = synthetic_scene((220, 220), n_blobs=35, seed=5)
+    ref = base[10:170, 10:170]
+    f1 = base[10:170, 14:174]   # +4 px in x vs ref
+    f2 = base[10:170, 18:178]   # +8 px in x vs ref (+4 vs f1)
+
+    al = LinearAlign(ref)
+    out = al.align(f1, shift_only=True, double_check=True, return_all=True)
+    assert out is not None
+    # ref->img map: ref content sits 4 px to the LEFT in f1 => offset -4
+    assert abs(out["offset"][1] + 4.0) < 0.5   # (row, col) offset
+
+    al2 = LinearAlign(ref)
+    o1 = al2.align(f1, shift_only=True, relative=True, return_all=True)
+    o2 = al2.align(f2, shift_only=True, relative=True, return_all=True)
+    assert abs(o1["offset"][1] + 4.0) < 0.5
+    # composed ref->f2 transform accumulates to ~-8 px
+    assert abs(o2["offset"][1] + 8.0) < 0.8
