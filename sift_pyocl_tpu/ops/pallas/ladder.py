@@ -71,54 +71,21 @@ def _geometry(h1: int, w1: int, n_oct: int):
 
 
 def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
-            n_levels, scales, h0p8):
+            n_levels, scales):
     n_oct = len(geo)
     outs = refs[: 2 * n_oct]                 # blur_o, dog_o interleaved
     b0, b1, b2, nextbase = refs[2 * n_oct : 2 * n_oct + 4]
     sem, osem = refs[2 * n_oct + 4 :]
     bufs = [b0, b1, b2]
 
-    # Build the first small octave's base by 2x-downsampling octave 0's
-    # level-`scales` blur straight from HBM (an XLA strided slice costs
-    # ~4.5 ms at 1080p on this platform; chunked selection matmuls on the
-    # MXU cost microseconds).  Everything is chunked 128 output rows/cols at
-    # a time and run_scoped so no phase-0 temporary outlives this block
-    # (the VMEM stack is the binding constraint at 1080p).
-    H1, W1, _, _, Hb1, Wb1 = geo[0]
-
-    def _phase0(x0chunk, sem0):
-        def col_chunk(cb, _):
-            c0_ = pl.multiple_of(cb * 256, 256)
-            cpy0 = pltpu.make_async_copy(
-                base_hbm.at[pl.ds(0, h0p8), pl.ds(c0_, 256)], x0chunk, sem0
-            )
-            cpy0.start()
-            cpy0.wait()
-            ci = lax.broadcasted_iota(jnp.int32, (256, 128), 0)
-            cj = lax.broadcasted_iota(jnp.int32, (256, 128), 1)
-            EC = ((ci == 2 * cj) & (cj + cb * 128 < W1)).astype(jnp.float32)
-            xc = jnp.dot(x0chunk[:], EC, preferred_element_type=jnp.float32)
-
-            def row_chunk(rb, _):
-                r0_ = pl.multiple_of(rb * 8, 8)
-                ri = lax.broadcasted_iota(jnp.int32, (8, h0p8), 0) + r0_
-                rj = lax.broadcasted_iota(jnp.int32, (8, h0p8), 1)
-                ER = ((rj == 2 * ri) & (ri < H1)).astype(jnp.float32)
-                b0[pl.ds(r0_, 8), pl.ds(pl.multiple_of(cb * 128, 128), 128)] = (
-                    jnp.dot(ER, xc, preferred_element_type=jnp.float32)
-                )
-                return 0
-
-            lax.fori_loop(0, Hb1 // 8, row_chunk, 0)
-            return 0
-
-        lax.fori_loop(0, Wb1 // 128, col_chunk, 0)
-
-    pl.run_scoped(
-        _phase0,
-        pltpu.VMEM((h0p8, 256), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
+    # first small octave's base -> bufs[0] at the buffer origin (the 2x
+    # downsample from octave 0 happens in XLA as exact selection matmuls —
+    # see ops.pyramid.downsample2; strided slices are the pathological op)
+    cpy = pltpu.make_async_copy(
+        base_hbm, b0.at[pl.ds(0, geo[0][2]), pl.ds(0, geo[0][3])], sem
     )
+    cpy.start()
+    cpy.wait()
 
     for o, (H, W, Hp8, Wp128, Hb, Wb) in enumerate(geo):
 
@@ -148,7 +115,9 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
             K = tap_sizes[lvl]
             half = (K - 1) // 2
             if axis == 1:
-                CH = 8
+                # largest dividing chunk: fori-loop iteration overhead is
+                # ~0.1 us, so 8-row chunks cost ~1 ms across the ladder
+                CH = next(c for c in (64, 32, 16, 8) if Hb % c == 0)
                 nch = Hb // CH
 
                 def row_chunk(rb, _):
@@ -168,7 +137,7 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
 
                 lax.fori_loop(0, nch, row_chunk, 0)
             else:
-                CW = 128
+                CW = next(c for c in (256, 128) if Wb % c == 0)
                 ncw = Wb // CW
 
                 def col_chunk(cb, _):
@@ -247,9 +216,8 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_key", "interpret"))
-def _run(base0_blur, taps_flat, cfg_key, interpret):
-    (h0, w0, n_oct, tap_offsets, tap_sizes, n_levels, scales) = cfg_key
-    h1, w1 = h0 // 2, w0 // 2
+def _run(base1, taps_flat, cfg_key, interpret):
+    (h1, w1, n_oct, tap_offsets, tap_sizes, n_levels, scales) = cfg_key
     geo = _geometry(h1, w1, n_oct)
     Hb, Wb = geo[0][4], geo[0][5]
     HbN = geo[1][4] if n_oct > 1 else 8
@@ -262,11 +230,9 @@ def _run(base0_blur, taps_flat, cfg_key, interpret):
         out_shapes.append(
             jax.ShapeDtypeStruct((n_levels, Hp8, Wp128), jnp.float32)
         )
-    # pad the source so every 256-lane DMA chunk of the in-kernel
-    # downsample stays in bounds
-    h0p8 = _round_up(h0, 8)
-    w0pad = max(_round_up(w0, 128), 2 * geo[0][5])
-    base_pad = jnp.pad(base0_blur, ((0, h0p8 - h0), (0, w0pad - w0)))
+    base_pad = jnp.pad(
+        base1, ((0, geo[0][2] - h1), (0, geo[0][3] - w1)), mode="edge"
+    )
     outs = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -275,7 +241,6 @@ def _run(base0_blur, taps_flat, cfg_key, interpret):
             tap_sizes=tap_sizes,
             n_levels=n_levels,
             scales=scales,
-            h0p8=h0p8,
         ),
         grid=(1,),
         in_specs=[
@@ -300,7 +265,7 @@ def _run(base0_blur, taps_flat, cfg_key, interpret):
 
 
 def small_octaves_ladder(
-    base0_blur: jnp.ndarray,
+    base1: jnp.ndarray,
     increments: Sequence[float],
     n_oct: int,
     scales: int,
@@ -308,9 +273,8 @@ def small_octaves_ladder(
 ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Blur/DoG stacks for octaves >= 1 in ONE kernel launch.
 
-    base0_blur: (H0, W0) f32 — octave 0's level-`scales` blur plane; the 2x
-    downsample to the first small octave happens IN the kernel (XLA strided
-    slices are pathological on this platform).
+    base1: (H1, W1) f32 — the first small octave's base image (octave 0's
+    level-`scales` blur, downsampled in XLA via ops.pyramid.downsample2).
     increments: per-level Gaussian sigma increments (len = scales + 2).
     Returns [(blurs (S+3, H, W), dogs (S+2, H, W)), ...] per octave.
     """
@@ -324,12 +288,12 @@ def small_octaves_ladder(
         sizes.append(len(t))
         off += len(t)
     taps_flat = jnp.asarray(np.concatenate(taps_list), dtype=jnp.float32)
-    h0, w0 = base0_blur.shape
+    h1, w1 = base1.shape
     cfg_key = (
-        h0, w0, n_oct, tuple(offsets), tuple(sizes), len(taps_list), scales
+        h1, w1, n_oct, tuple(offsets), tuple(sizes), len(taps_list), scales
     )
-    outs = _run(base0_blur, taps_flat, cfg_key, interpret)
-    geo = _geometry(h0 // 2, w0 // 2, n_oct)
+    outs = _run(base1, taps_flat, cfg_key, interpret)
+    geo = _geometry(h1, w1, n_oct)
     result = []
     for o, (H, W, _, _, _, _) in enumerate(geo):
         blurs = outs[2 * o][:, :H, :W]

@@ -149,6 +149,26 @@ def build_octave_jax(
     return stack, dogs
 
 
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """Exact stride-2 downsample as 0/1 selection matmuls on the MXU.
+
+    Bit-identical to img[::2, ::2] (HIGHEST precision keeps f32 operands
+    exact through the single-nonzero-term products); the XLA strided slice
+    costs ~4.5 ms at 1080p on this platform, the matmuls are ~free.
+    """
+    h, w = img.shape
+    ER = jnp.asarray(
+        (np.arange(h)[None, :] == 2 * np.arange(h // 2)[:, None]).astype(np.float32)
+    )
+    EC = jnp.asarray(
+        (np.arange(w)[None, :] == 2 * np.arange(w // 2)[:, None]).astype(np.float32)
+    )
+    y = lax.dot_general(ER, img, (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST)
+    return lax.dot_general(y, EC, (((1,), (1,)), ((), ())),
+                           precision=lax.Precision.HIGHEST)
+
+
 def build_scale_space_jax(
     img: jnp.ndarray, cfg: SiftConfig
 ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
@@ -169,11 +189,8 @@ def build_scale_space_jax(
         if backend == "pallas":
             from .pallas.ladder import small_octaves_ladder
 
-            # hand the kernel the full-resolution plane: the 2x downsample
-            # happens in-kernel (XLA strided slices cost ~4.5 ms at 1080p
-            # on this platform)
             octaves += small_octaves_ladder(
-                blurs0[cfg.scales], cfg.sigma_increments(),
+                downsample2(blurs0[cfg.scales]), cfg.sigma_increments(),
                 n_oct - 1, cfg.scales,
             )
         else:
