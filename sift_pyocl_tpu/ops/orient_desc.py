@@ -263,16 +263,67 @@ def quantize_descriptors(raw: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(512.0 * v, 255.0).astype(jnp.uint8)
 
 
+def orientation_peaks_dense(
+    hist: jnp.ndarray,
+    kps: RefinedKeypoints,
+    cfg: SiftConfig,
+    max_ori: int = 2,
+) -> OrientedKeypoints:
+    """Scatter-free variant of `orientation_peaks_from_hist`: duplicate
+    slots stay DENSE — slot cap*o+i is keypoint i's o-th orientation, with a
+    validity mask instead of nonzero compaction (XLA nonzero + the index
+    gathers cost ~0.5 ms per octave on TPU; tile/reshape are free).
+    """
+    hist = smooth_orientation_hist(hist)
+    hmax = jnp.max(hist, axis=-1, keepdims=True)
+    left = jnp.roll(hist, 1, axis=-1)
+    right = jnp.roll(hist, -1, axis=-1)
+    is_peak = (hist >= 0.8 * hmax) & (hist > left) & (hist > right) & (hmax > 0)
+    scores = jnp.where(is_peak, hist, -jnp.inf)
+    top_vals, top_bins = lax.top_k(scores, max_ori)          # (cap, max_ori)
+    ok = jnp.isfinite(top_vals) & kps.valid[:, None]
+    l = jnp.take_along_axis(left, top_bins, axis=-1)
+    rgt = jnp.take_along_axis(right, top_bins, axis=-1)
+    h = jnp.take_along_axis(hist, top_bins, axis=-1)
+    denom = l - 2.0 * h + rgt
+    off = jnp.where(
+        denom != 0, 0.5 * (l - rgt) / jnp.where(denom != 0, denom, 1.0), 0.0
+    )
+    ang = (
+        2 * np.pi * (top_bins.astype(jnp.float32) + 0.5 + off) / N_ORI_BINS
+        - np.pi
+    )
+    ang = jnp.where(ang > np.pi, ang - 2 * np.pi, ang)
+    ang = jnp.where(ang <= -np.pi, ang + 2 * np.pi, ang)
+
+    def rep(x):
+        return jnp.concatenate([x] * max_ori, axis=0)
+
+    cap = hist.shape[0]
+    return OrientedKeypoints(
+        s_int=rep(kps.s_int),
+        fs=rep(kps.fs),
+        fr=rep(kps.fr),
+        fc=rep(kps.fc),
+        angle=ang.T.reshape(-1),            # slot cap*o + i
+        valid=ok.T.reshape(-1),
+        count=jnp.sum(ok.astype(jnp.int32)),
+    )
+
+
 def assign_orientations_pallas(
     mag_p: jnp.ndarray,
     ori_p: jnp.ndarray,
     kps: RefinedKeypoints,
     cfg: SiftConfig,
-    dcap: int,
+    dcap: int = 0,
     max_ori: int = 2,
     interpret: bool = False,
 ) -> OrientedKeypoints:
-    """Pallas-backed orientation assignment (mag_p/ori_p pre-padded)."""
+    """Pallas-backed orientation assignment (mag_p/ori_p pre-padded).
+
+    Returns DENSE duplicate slots of size max_ori*cap (dcap is ignored —
+    kept for signature compatibility with the XLA path)."""
     from .pallas.window import orientation_hist_pallas
 
     win = _ori_window_size(cfg)
@@ -281,7 +332,7 @@ def assign_orientations_pallas(
         mag_p, ori_p, kps.s_int, kps.fr, kps.fc, sigma_oct, kps.valid,
         win=win, interpret=interpret,
     )
-    return orientation_peaks_from_hist(hist, kps, cfg, dcap, max_ori)
+    return orientation_peaks_dense(hist, kps, cfg, max_ori)
 
 
 def compute_descriptors_pallas(
