@@ -54,3 +54,24 @@ def test_determinism(plan, scene160):
     assert len(a) == len(b)
     np.testing.assert_array_equal(a["desc"], b["desc"])
     np.testing.assert_array_equal(a["x"], b["x"])
+
+
+def test_siftplan_accepts_u8_and_rgb(scene128):
+    """Input dtype parity (reference: preprocess.cl u8/u16/rgb -> float)."""
+    import numpy as np
+    from sift_pyocl_tpu import SiftPlan
+
+    img_f = scene128
+    plan = SiftPlan(shape=img_f.shape, dtype="float32", config=None)
+    kp_f = plan.keypoints(img_f)
+
+    u8 = np.clip(img_f, 0, 255).astype(np.uint8)
+    kp_u8 = SiftPlan(shape=u8.shape, dtype="uint8").keypoints(u8)
+    # normalization to [0,255] makes u8 quantization a small perturbation:
+    # most keypoints should survive
+    assert len(kp_u8) > 0.6 * len(kp_f)
+
+    rgb = np.stack([u8, u8, u8], axis=-1)
+    kp_rgb = SiftPlan(shape=rgb.shape[:2], dtype="uint8").keypoints(rgb)
+    # grayscale of an (x,x,x) RGB image equals the grayscale image
+    assert len(kp_rgb) == len(kp_u8)
