@@ -41,6 +41,7 @@ from jax import lax
 from ..config import SiftConfig
 from ..ops.match import match_descriptors_dense
 from ..sfm.ba import BAObs, BAParams, lm_iteration
+from ..sfm.geometry import triangulate_two_view
 from ..sfm.pnp import pnp_refine
 from .sift import KeypointBuffer, detect_and_describe
 
@@ -66,6 +67,9 @@ class VOState(NamedTuple):
     obs_uv: jnp.ndarray   # (W,OBS_F,2)
     obs_pt: jnp.ndarray   # (W,OBS_F) int32 flat map id (slot*PN+local), -1 pad
     obs_w: jnp.ndarray    # (W,OBS_F) f32
+    prev_desc: jnp.ndarray   # (N,128) uint8 previous frame's keypoint buffer
+    prev_uv: jnp.ndarray     # (N,2) f32
+    prev_valid: jnp.ndarray  # (N,) bool
     lam: jnp.ndarray      # () f32 LM damping carried across frames
     frame: jnp.ndarray    # () int32
 
@@ -117,6 +121,9 @@ def vo_init(frame0: jnp.ndarray, K: jnp.ndarray, cfg: SiftConfig,
         obs_pt=jnp.full((W, OBS_F), -1, jnp.int32)
         .at[W - 1, :PN].set((W - 1) * PN + jnp.arange(PN, dtype=jnp.int32)),
         obs_w=jnp.zeros((W, OBS_F), jnp.float32).at[W - 1, :PN].set(ok),
+        prev_desc=buf.desc,
+        prev_uv=_kp_xy(buf),
+        prev_valid=buf.valid,
         lam=jnp.float32(1e-3),
         frame=jnp.int32(1),
     )
@@ -176,8 +183,10 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     obs_pt = jnp.concatenate([obs_pt_old[1:], opt[None]], axis=0)
     obs_w = jnp.concatenate([obs_w_old[1:], ow[None]], axis=0)
 
-    # 4c. spawn PN new map points from strong unmatched keypoints,
-    #     back-projected at the median matched depth
+    # 4c. spawn PN new map points from strong unmatched keypoints —
+    #     two-view triangulated against the PREVIOUS frame's keypoints when a
+    #     ratio-test match exists and the geometry is sane, otherwise
+    #     back-projected at the median matched depth (BA refines both)
     Xc_sel = X_sel @ R_new.T + t_new
     depths = jnp.where(w_sel > 0, Xc_sel[:, 2], jnp.nan)
     med_depth = jnp.nan_to_num(jnp.nanmedian(depths), nan=5.0)
@@ -186,7 +195,21 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     _, nsel = lax.approx_max_k(new_score, PN)
     nok = (buf.valid & ~keep)[nsel].astype(jnp.float32)
     nuv = kp_uv[nsel]
-    Xnew = _backproject(K, R_new, t_new, nuv, jnp.full((PN,), med_depth))
+    Xbp = _backproject(K, R_new, t_new, nuv, jnp.full((PN,), med_depth))
+    pk, pidx, _pd = match_descriptors_dense(
+        buf.desc[nsel], nok > 0, state.prev_desc, state.prev_valid,
+        metric=vo.match_metric, ratio_sq=vo.ratio_sq,
+    )
+    uv_prev = state.prev_uv[pidx]
+    Xtri, z_prev, z_new = triangulate_two_view(
+        K, R_prev, t_prev, K, R_new, t_new, uv_prev, nuv
+    )
+    tri_ok = (
+        pk
+        & (z_prev > 0.2 * med_depth) & (z_new > 0.2 * med_depth)
+        & (z_prev < 10.0 * med_depth) & (z_new < 10.0 * med_depth)
+    )
+    Xnew = jnp.where(tri_ok[:, None], Xtri, Xbp)
     X = jnp.concatenate([state.X[1:], Xnew[None]], axis=0)
     Xvalid = jnp.concatenate([state.Xvalid[1:], nok[None]], axis=0)
     Xdesc = jnp.concatenate([state.Xdesc[1:], buf.desc[nsel][None]], axis=0)
@@ -225,6 +248,9 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
         obs_uv=obs_uv,
         obs_pt=obs_pt,
         obs_w=obs_w,
+        prev_desc=buf.desc,
+        prev_uv=kp_uv,
+        prev_valid=buf.valid,
         lam=lam2,
         frame=state.frame + 1,
     )
