@@ -7,6 +7,13 @@ the full loop (SIFT frontend + descriptor matching + PnP + windowed BA),
 here measured as the fused models/vo.py step — one compiled program per
 frame.  The SIFT-frontend-only number is reported in the detail line.
 
+Driver-proofing (round 2): the round-1 official number was lost to a single
+transient tunnel error (`remote_compile: response body closed`).  Every
+compile/measure stage is now wrapped in retry-with-backoff; if the target
+shape keeps failing we fall back to smaller shapes; and the headline JSON
+line is ALWAYS emitted with whatever stages succeeded (SIFT-only if the VO
+step fails everywhere).  rc=0 whenever at least one stage produced a number.
+
 Methodology (see sift_pyocl_tpu/utils/benchtool.py — measured axon-platform
 quirks): `block_until_ready` does not await real device execution here and
 the runtime memoizes (executable, input-value) pairs, so the only honest
@@ -18,8 +25,31 @@ host, and reports the slope between a short and a long chain.
 import argparse
 import functools
 import json
+import os
 import sys
 import time
+import traceback
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def retry(fn, tries: int = 3, base_delay: float = 4.0, label: str = "stage"):
+    """Run fn() with retry-and-backoff on ANY exception (transient tunnel
+    errors surface as JaxRuntimeError/INTERNAL).  Returns (value, None) on
+    success or (None, last_exception) after exhausting retries."""
+    last = None
+    for attempt in range(tries):
+        try:
+            return fn(), None
+        except Exception as e:  # noqa: BLE001 — transport errors vary by type
+            last = e
+            _log(f"{label}: attempt {attempt + 1}/{tries} failed: "
+                 f"{type(e).__name__}: {str(e)[:300]}")
+            if attempt + 1 < tries:
+                time.sleep(base_delay * (2 ** attempt))
+    return None, last
 
 
 def main() -> int:
@@ -27,10 +57,24 @@ def main() -> int:
     ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
     ap.add_argument("--quick", action="store_true", help="256x256 fast run")
     ap.add_argument("--n-hi", type=int, default=9)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--tries", type=int, default=3)
     args = ap.parse_args()
     if args.quick:
         args.shape = [256, 256]
+
+    # Persistent compile cache: harmless if the platform's remote compiler
+    # ignores it, a large wall-time win if honored across driver rounds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_compile_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # noqa: BLE001
+        _log(f"compile cache unavailable: {e}")
 
     import numpy as np
     import jax
@@ -43,93 +87,170 @@ def main() -> int:
     from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
-    shape = tuple(args.shape)
     cfg = SiftConfig()
     vo = VOConfig()
-    img = jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
-    K = jnp.asarray(
-        [[1000.0, 0, shape[1] / 2], [0, 1000.0, shape[0] / 2], [0, 0, 1.0]],
-        jnp.float32,
-    )
     wall0 = time.perf_counter()
 
-    # --- headline: fused VO step (SIFT + match + PnP + windowed BA) ---
-    st0 = vo_init(img, K, cfg, vo)
+    target = tuple(args.shape)
+    fallbacks = [(1080, 1920), (720, 1280), (512, 512), (256, 256)]
+    shapes = [target] + [s for s in fallbacks if s[0] < target[0]]
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(st, x, n):
-        def body(i, carry):
-            s, c = carry
-            s2, out = vo_step(s, c, K, cfg, vo)
-            return (s2, x * 0.9999 + 0.0001 * jnp.tanh(out.ba_cost * 1e-9))
-        return lax.fori_loop(0, n, body, (st, x))
-
-    def fetch(r):
-        s, c = r
-        return float(c[0, 0]) + float(s.lam)
-
-    rng = np.random.default_rng(0)
-
-    def fresh():
-        y = img + jnp.float32(rng.uniform(0.0, 1.0))
-        float(y[0, 0])
-        return y
-
-    fetch(chain(st0, fresh(), n=1))
-    fetch(chain(st0, fresh(), n=args.n_hi))
-    slopes = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        fetch(chain(st0, fresh(), n=1))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fetch(chain(st0, fresh(), n=args.n_hi))
-        tn = time.perf_counter() - t0
-        slopes.append((tn - t1) / (args.n_hi - 1))
-    ms_e2e = float(np.median(slopes)) * 1e3
-    fps_e2e = 1000.0 / ms_e2e
-
-    # --- detail: SIFT frontend only ---
-    def sift_step(c):
-        b = detect_and_describe(c, cfg)
-        return {
-            "x": b.x.sum(), "y": b.y.sum(), "s": b.scale.sum(),
-            "a": b.angle.sum(), "d": b.desc.astype(jnp.float32).sum(),
-            "v": b.valid.sum(), "c": b.counts.sum(),
-        }
-
-    ms_sift = chained_ms(sift_step, img, n_hi=args.n_hi, reps=2)
-    n_kp = int(jax.device_get(detect_and_describe(img, cfg).valid).sum())
-
-    print(
-        json.dumps(
-            {
-                "metric": f"vo_sift_match_ba_fps_{shape[0]}x{shape[1]}",
-                "value": round(fps_e2e, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps_e2e / 60.0, 4),
-            }
+    def make_inputs(shape):
+        img = jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
+        K = jnp.asarray(
+            [[1000.0, 0, shape[1] / 2], [0, 1000.0, shape[0] / 2], [0, 0, 1.0]],
+            jnp.float32,
         )
-    )
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "device": str(jax.devices()[0]),
-                    "e2e_ms_per_frame": round(ms_e2e, 3),
-                    "sift_only_ms_per_frame": round(ms_sift, 3),
-                    "sift_only_fps": round(1000.0 / ms_sift, 1),
-                    "keypoints_frame0": n_kp,
-                    "vo": dict(vo._asdict()),
-                    "bench_wall_s": round(time.perf_counter() - wall0, 1),
-                    "method": "chained fori_loop slope, fresh inputs",
-                }
+        return img, K
+
+    def measure_vo(shape):
+        img, K = make_inputs(shape)
+        st0 = vo_init(img, K, cfg, vo)
+
+        # n dynamic: one executable serves both chain lengths (remote
+        # compiles dominate bench wall time on this platform)
+        @jax.jit
+        def chain(st, x, n):
+            def body(i, carry):
+                s, c = carry
+                s2, out = vo_step(s, c, K, cfg, vo)
+                return (s2, x * 0.9999 + 0.0001 * jnp.tanh(out.ba_cost * 1e-9))
+            return lax.fori_loop(0, n, body, (st, x))
+
+        def fetch(r):
+            s, c = r
+            return float(c[0, 0]) + float(s.lam)
+
+        rng = np.random.default_rng(0)
+
+        def fresh():
+            y = img + jnp.float32(rng.uniform(0.0, 1.0))
+            float(y[0, 0])
+            return y
+
+        lo, hi = jnp.int32(1), jnp.int32(args.n_hi)
+        fetch(chain(st0, fresh(), lo))
+        fetch(chain(st0, fresh(), hi))
+        slopes = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            fetch(chain(st0, fresh(), lo))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fetch(chain(st0, fresh(), hi))
+            tn = time.perf_counter() - t0
+            slopes.append((tn - t1) / (args.n_hi - 1))
+        ms = float(np.median(slopes)) * 1e3
+        if ms <= 0:
+            raise ValueError(f"non-positive slope {ms:.3f} ms — timing noise")
+        return ms
+
+    def measure_sift(shape):
+        img, _ = make_inputs(shape)
+
+        def sift_step(c):
+            b = detect_and_describe(c, cfg)
+            return {
+                "x": b.x.sum(), "y": b.y.sum(), "s": b.scale.sum(),
+                "a": b.angle.sum(), "d": b.desc.astype(jnp.float32).sum(),
+                "v": b.valid.sum(), "c": b.counts.sum(),
             }
-        ),
-        file=sys.stderr,
-    )
+
+        ms = chained_ms(sift_step, img, n_hi=args.n_hi, reps=args.reps)
+        if ms <= 0:
+            raise ValueError(f"non-positive slope {ms:.3f} ms — timing noise")
+        # informational keypoint count: run the XLA path on the local CPU
+        # backend so it does not cost another slow remote compile
+        try:
+            import dataclasses
+
+            cfg_cpu = dataclasses.replace(cfg, kp_backend="xla",
+                                          conv_backend="xla")
+            fn = jax.jit(functools.partial(detect_and_describe, cfg=cfg_cpu),
+                         backend="cpu")
+            n_kp = int(jax.device_get(fn(np.asarray(img)).valid).sum())
+        except Exception as e:  # noqa: BLE001
+            _log(f"n_kp (cpu) skipped: {e}")
+            n_kp = -1
+        return ms, n_kp
+
+    results = {}  # shape -> {"vo_ms":, "sift_ms":, "n_kp":}
+    errors = []
+
+    vo_shape = sift_shape = None
+    for shape in shapes:
+        _log(f"trying shape {shape}")
+        # SIFT frontend first: cheaper compile, guarantees *some* number early.
+        if sift_shape is None:
+            val, err = retry(lambda: measure_sift(shape), tries=args.tries,
+                             label=f"sift@{shape}")
+            if val is not None:
+                ms_sift, n_kp = val
+                results.setdefault(shape, {})["sift_ms"] = ms_sift
+                results[shape]["n_kp"] = n_kp
+                sift_shape = shape
+                _log(f"sift@{shape}: {ms_sift:.3f} ms/frame")
+            else:
+                errors.append(f"sift@{shape}: {type(err).__name__}: {str(err)[:200]}")
+        val, err = retry(lambda: measure_vo(shape), tries=args.tries,
+                         label=f"vo@{shape}")
+        if val is not None:
+            results.setdefault(shape, {})["vo_ms"] = val
+            vo_shape = shape
+            _log(f"vo@{shape}: {val:.3f} ms/frame")
+            break
+        errors.append(f"vo@{shape}: {type(err).__name__}: {str(err)[:200]}")
+        # sift number is kept from the best shape that worked; only vo falls back.
+
+    detail = {
+        "device": str(jax.devices()[0]) if jax.devices() else "none",
+        "bench_wall_s": round(time.perf_counter() - wall0, 1),
+        "method": "chained fori_loop slope, fresh inputs, retry+fallback",
+        "errors": errors,
+        "vo": dict(vo._asdict()),
+    }
+
+    if vo_shape is not None:
+        ms = results[vo_shape]["vo_ms"]
+        fps = 1000.0 / ms
+        headline = {
+            "metric": f"vo_sift_match_ba_fps_{vo_shape[0]}x{vo_shape[1]}",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 60.0, 4),
+        }
+        detail["e2e_ms_per_frame"] = round(ms, 3)
+    elif sift_shape is not None:
+        ms = results[sift_shape]["sift_ms"]
+        fps = 1000.0 / ms
+        headline = {
+            "metric": f"sift_frontend_fps_{sift_shape[0]}x{sift_shape[1]}",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 60.0, 4),
+        }
+    else:
+        print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "frames/s",
+                          "vs_baseline": 0.0}))
+        print(json.dumps({"detail": detail}), file=sys.stderr)
+        return 1
+
+    if sift_shape is not None:
+        detail["sift_only_ms_per_frame"] = round(results[sift_shape]["sift_ms"], 3)
+        detail["sift_only_fps"] = round(1000.0 / results[sift_shape]["sift_ms"], 1)
+        detail["sift_shape"] = list(sift_shape)
+        detail["keypoints_frame0"] = results[sift_shape]["n_kp"]
+
+    print(json.dumps(headline))
+    print(json.dumps({"detail": detail}), file=sys.stderr)
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception:  # noqa: BLE001 — last-resort: never die without JSON
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({"metric": "bench_failed", "value": 0,
+                          "unit": "frames/s", "vs_baseline": 0.0}))
+        sys.exit(1)

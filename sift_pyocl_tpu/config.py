@@ -38,6 +38,9 @@ class SiftConfig:
 
     # --- plan-level knobs (reference: SiftPlan ctor kwargs) ---
     pix_per_kp: int = 10                # PIX_PER_KP: capacity heuristic npix/PIX_PER_KP
+    downsample_mode: str = "shrink"     # octave downsample: "shrink" (every
+                                        # other pixel, preprocess.cl::shrink)
+                                        # | "bin" (2x2 mean, preprocess.cl::bin)
 
     # --- TPU-native additions (static-shape capacities; no reference analog:
     #     they replace the reference's atomic counters + device->host readbacks,
@@ -51,6 +54,8 @@ class SiftConfig:
                                         # (auto = fused Pallas kernel on TPU)
     kp_backend: str = "auto"            # detect/orient/descriptor path:
                                         # "pallas" | "xla" | "auto"
+    pallas_interpret: bool = False      # run Pallas kernels in interpret mode
+                                        # (CPU parity tests of the TPU path)
 
     # --- derived helpers (pure functions of config + image shape) ---
 

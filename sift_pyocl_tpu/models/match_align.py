@@ -23,10 +23,13 @@ from .sift import SiftPlan
 class MatchPlan:
     """Brute-force descriptor matcher (reference: match.py::MatchPlan).
 
-    The reference pre-allocates buffers of `size` keypoints; here sizes are
-    taken from the inputs (XLA compiles per distinct size; pad upstream for a
-    stable size).  `match` returns an (M, 2) structured array of matched
-    keypoint record pairs, like the reference.
+    The reference pre-allocates buffers of `size` keypoints and compiles its
+    kernels once; the same compile-once semantics hold here: inputs are
+    zero-padded (with a validity mask) to the ctor `size`, so every call at
+    or below `size` reuses ONE compiled XLA program.  Larger inputs bucket
+    to the next power of two (one extra compile per bucket, not per size).
+    `match` returns an (M, 2) structured array of matched keypoint record
+    pairs, like the reference.
     """
 
     def __init__(self, size: int = 16384, devicetype: str = "TPU",
@@ -56,29 +59,44 @@ class MatchPlan:
         c = np.clip(kp["x"].astype(int), 0, self.roi.shape[1] - 1)
         return self.roi[r, c]
 
+    def _padded(self, kp: np.ndarray, mask: np.ndarray):
+        """Zero-pad records to a stable compile footprint: power-of-two
+        buckets (>=128) capped at the ctor `size`, so all calls at or below
+        `size` share at most log2(size) compiled programs — the functional
+        analog of the reference's compile-once preallocated buffers."""
+        n = len(kp)
+        bucket = 1 << max(7, (n - 1).bit_length())
+        cap = min(bucket, self.size) if self.size >= n else bucket
+        desc = np.zeros((cap, 128), np.uint8)
+        desc[:n] = kp["desc"]
+        m = np.zeros(cap, bool)
+        m[:n] = mask
+        xy = np.zeros((cap, 2), np.float32)
+        xy[:n, 0] = kp["x"]
+        xy[:n, 1] = kp["y"]
+        return desc, m, xy
+
     def match_index(self, kp1: np.ndarray, kp2: np.ndarray) -> np.ndarray:
         """(M, 2) int32 indices of matches between two KP_DTYPE arrays."""
         if len(kp1) == 0 or len(kp2) == 0:
             return np.zeros((0, 2), dtype=np.int32)
+        d1, m1, xy1 = self._padded(kp1, self._roi_mask(kp1))
+        d2, m2, xy2 = self._padded(kp2, np.ones(len(kp2), dtype=bool))
         kwargs = {}
         if self.match_xradius is not None or self.match_yradius is not None:
             kwargs = dict(
-                xy1=jnp.stack(
-                    [jnp.asarray(kp1["x"]), jnp.asarray(kp1["y"])], axis=1
-                ),
-                xy2=jnp.stack(
-                    [jnp.asarray(kp2["x"]), jnp.asarray(kp2["y"])], axis=1
-                ),
+                xy1=jnp.asarray(xy1),
+                xy2=jnp.asarray(xy2),
                 xy_radius=(
                     float(self.match_xradius or np.inf),
                     float(self.match_yradius or np.inf),
                 ),
             )
         res = match_descriptors_jax(
-            jnp.asarray(kp1["desc"]),
-            jnp.asarray(self._roi_mask(kp1)),
-            jnp.asarray(kp2["desc"]),
-            jnp.ones(len(kp2), dtype=bool),
+            jnp.asarray(d1),
+            jnp.asarray(m1),
+            jnp.asarray(d2),
+            jnp.asarray(m2),
             metric=self.metric,
             ratio_sq=self.ratio_th,
             **kwargs,

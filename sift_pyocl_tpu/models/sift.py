@@ -63,9 +63,16 @@ def octave_capacities(shape: Tuple[int, int], cfg: SiftConfig) -> List[Tuple[int
 
 
 def _resolve_kp_backend(cfg: SiftConfig) -> str:
+    from ..ops.orient_desc import _desc_window_size, _ori_window_size
+
     be = cfg.kp_backend
     if be == "auto":
         be = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if be == "pallas" and max(_ori_window_size(cfg), _desc_window_size(cfg)) > 128:
+        # The Pallas window kernels hold a keypoint window in (win, 128)
+        # lanes; configs whose window exceeds 128 (e.g. init_sigma=1.8,
+        # scales=2) must take the XLA path to stay correct.
+        be = "xla"
     return be
 
 
@@ -94,11 +101,17 @@ def detect_and_describe(img: jnp.ndarray, cfg: SiftConfig) -> KeypointBuffer:
         cap, dcap = caps[o]
         mags, oris = gradient_planes(blurs, cfg)
         if use_pallas:
-            kps, _raw_extrema = detect_octave_pallas(dogs, cfg, o, cap)
+            kps, _raw_extrema = detect_octave_pallas(
+                dogs, cfg, o, cap, interpret=cfg.pallas_interpret
+            )
             extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
             mag_p, ori_p = pad_grad_planes(mags, oris)
-            okps = assign_orientations_pallas(mag_p, ori_p, kps, cfg, dcap)
-            desc = compute_descriptors_pallas(mag_p, ori_p, okps, cfg)
+            okps = assign_orientations_pallas(
+                mag_p, ori_p, kps, cfg, dcap, interpret=cfg.pallas_interpret
+            )
+            desc = compute_descriptors_pallas(
+                mag_p, ori_p, okps, cfg, interpret=cfg.pallas_interpret
+            )
         else:
             kps = detect_octave(dogs, cfg, o, cap)
             extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
@@ -161,7 +174,47 @@ class SiftPlan:
         self.shape = tuple(shape)
         self.dtype = np.dtype(dtype)
         self.cfg = cfg
+        self._check_memory()
         self._fn = jax.jit(partial(detect_and_describe, cfg=cfg))
+
+    def calc_memory(self) -> int:
+        """Estimated peak device bytes for this plan's arrays (reference:
+        plan.py::_calc_memory — the reference raises before allocating an
+        image that cannot fit; we pre-check the same way instead of failing
+        deep inside Mosaic).  Counts the blur/DoG stacks, gradient planes and
+        their Pallas DMA padding, and the keypoint buffers, all f32."""
+        cfg = self.cfg
+        h, w = self.shape
+        if cfg.double_im_size:
+            h, w = 2 * h, 2 * w
+        total = h * w * 4 * 2  # input + normalized/doubled base
+        caps = octave_capacities(self.shape, cfg)
+        for cap, dcap in caps:
+            blur_dog = (cfg.n_scale_imgs + cfg.n_dogs) * h * w * 4
+            grads = 2 * cfg.scales * h * w * 4
+            # pad_grad_planes: +2*PAD_R rows, +2*PAD_C cols per plane
+            grads_pad = 2 * cfg.scales * (h + 160) * (w + 512) * 4
+            kp_bufs = (cap * 8 + dcap * (8 + 128)) * 4
+            total += blur_dog + grads + grads_pad + kp_bufs
+            h, w = (h + 1) // 2, (w + 1) // 2
+        return total
+
+    def _check_memory(self, limit_bytes: Optional[int] = None):
+        need = self.calc_memory()
+        if limit_bytes is None:
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                limit_bytes = stats.get("bytes_limit", 0) or 0
+            except Exception:  # noqa: BLE001 — backends without memory_stats
+                limit_bytes = 0
+            if not limit_bytes:
+                limit_bytes = 16 << 30  # v5e HBM
+        if need > limit_bytes:
+            raise MemoryError(
+                f"SiftPlan{self.shape}: estimated {need / 2**30:.2f} GiB of "
+                f"device arrays exceeds the {limit_bytes / 2**30:.2f} GiB "
+                "limit (reference parity: plan.py::_calc_memory pre-check)"
+            )
 
     def compile(self) -> "SiftPlan":
         """Force ahead-of-time compilation (the reference does this in __init__)."""

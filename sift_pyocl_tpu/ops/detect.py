@@ -49,7 +49,10 @@ def extrema_mask(dogs: jnp.ndarray, cfg: SiftConfig, octave: int) -> jnp.ndarray
     """
     S, H, W = dogs.shape
     bd = cfg.border_dist
-    eth = cfg.edge_thresh1 if octave == 0 else cfg.edge_thresh
+    # octsize<=1 rule (see oracle.local_maxmin): edge_thresh1 for octave 0,
+    # and for octave 1 too when double_im_size (octsize ladder starts at 0.5)
+    octsize = 2.0 ** (octave - 1) if cfg.double_im_size else 2.0 ** octave
+    eth = cfg.edge_thresh1 if octsize <= 1.0 else cfg.edge_thresh
 
     v = dogs[1 : S - 1, bd : H - bd, bd : W - bd]
     strong = jnp.abs(v) > 0.8 * cfg.peak_thresh

@@ -15,8 +15,11 @@ a running write cursor in SMEM:
   reference's nondeterministic atomics).
 
 Bits beyond `max_per_tile` in one tile are dropped (counted in `total`,
-like capacity overflow); extrema masks are ~0.01-0.1% dense so tiles hold a
-handful of bits in practice.
+like capacity overflow).  Extrema masks are ~0.01-0.1% dense; the default
+bound (128 per 32768-element tile = 0.4%) leaves ~4-40x headroom over even
+cluttered scenes, and because every extraction step is predicated on
+`j < cnt`, raising the bound costs code size, not runtime.  Overflow is
+detectable by the caller as `total > written` with `written < cap`.
 """
 
 from __future__ import annotations
@@ -86,7 +89,7 @@ def compact_mask_pallas(
     mask: jnp.ndarray,
     cap: int,
     tile_rows: int = 64,
-    max_per_tile: int = 32,
+    max_per_tile: int = 128,
     interpret: bool = False,
 ):
     """Indices (np.nonzero order) of set bits in `mask` (any shape, flattened).

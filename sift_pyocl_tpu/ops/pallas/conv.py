@@ -112,7 +112,7 @@ def separable_blur_pallas(
             cols_al=cols_al,
         ),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tr, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),

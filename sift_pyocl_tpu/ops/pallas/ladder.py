@@ -66,12 +66,13 @@ def _geometry(h1: int, w1: int, n_oct: int):
             h, w, _round_up(h, 8), _round_up(w, 128),
             _round_up(h + 2 * MR, 8), _round_up(w + 2 * MR, 128),
         ))
-        h, w = h // 2, w // 2
+        # ceil halving: matches img[::2, ::2] / oracle.shrink2 at odd dims
+        h, w = (h + 1) // 2, (w + 1) // 2
     return geo
 
 
 def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
-            n_levels, scales):
+            n_levels, scales, ds_mode="shrink"):
     n_oct = len(geo)
     outs = refs[: 2 * n_oct]                 # blur_o, dog_o interleaved
     b0, b1, b2, nextbase = refs[2 * n_oct : 2 * n_oct + 4]
@@ -164,20 +165,38 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
             cp.start()
             cp.wait()
 
-        def downsample(src_ref, Hb=Hb, Wb=Wb, o=o):
-            """bufs -> nextbase: y[r', c'] = x[2r', 2c'] via selection matmuls.
+        def downsample(src_ref, Hb=Hb, Wb=Wb, o=o, H=H, W=W):
+            """bufs -> nextbase via selection/averaging matmuls.
 
-            Chunked over 128-lane output columns: out_chunk = ER @ (x @ EC),
-            keeping every temporary chunk-sized (VMEM stack discipline)."""
+            shrink: y[r', c'] = x[2r', 2c'] (0/1 selection); bin: 2x2 mean
+            with explicit 0.5/1.0 edge weights (margin rows hold blurred
+            margins, NOT exact replicas, so weights must be explicit —
+            oracle.bin2 numerics).  Chunked over 128-lane output columns:
+            out_chunk = ER @ (x @ EC), keeping every temporary chunk-sized
+            (VMEM stack discipline)."""
             HbN, WbN = geo[o + 1][4], geo[o + 1][5]
             HN, WN = geo[o + 1][0], geo[o + 1][1]
             ri = lax.broadcasted_iota(jnp.int32, (HbN, Hb), 0)
             rj = lax.broadcasted_iota(jnp.int32, (HbN, Hb), 1)
-            ER = ((rj == 2 * ri) & (ri < HN)).astype(jnp.float32)
+            if ds_mode == "bin":
+                has2 = 2 * ri + 1 < H
+                ER = jnp.where(
+                    (rj == 2 * ri) & (ri < HN),
+                    jnp.where(has2, 0.5, 1.0), 0.0,
+                ) + jnp.where((rj == 2 * ri + 1) & (ri < HN) & has2, 0.5, 0.0)
+            else:
+                ER = ((rj == 2 * ri) & (ri < HN)).astype(jnp.float32)
             for cb in range(WbN // 128):
                 ci = lax.broadcasted_iota(jnp.int32, (Wb, 128), 0)
                 cj = lax.broadcasted_iota(jnp.int32, (Wb, 128), 1) + cb * 128
-                EC = ((ci == 2 * cj) & (cj < WN)).astype(jnp.float32)
+                if ds_mode == "bin":
+                    chas2 = 2 * cj + 1 < W
+                    EC = jnp.where(
+                        (ci == 2 * cj) & (cj < WN),
+                        jnp.where(chas2, 0.5, 1.0), 0.0,
+                    ) + jnp.where((ci == 2 * cj + 1) & (cj < WN) & chas2, 0.5, 0.0)
+                else:
+                    EC = ((ci == 2 * cj) & (cj < WN)).astype(jnp.float32)
                 t = jnp.dot(src_ref[0:Hb, 0:Wb], EC,
                             preferred_element_type=jnp.float32)  # (Hb, 128)
                 nextbase[0:HbN, cb * 128 : (cb + 1) * 128] = jnp.dot(
@@ -217,7 +236,7 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
 
 @functools.partial(jax.jit, static_argnames=("cfg_key", "interpret"))
 def _run(base1, taps_flat, cfg_key, interpret):
-    (h1, w1, n_oct, tap_offsets, tap_sizes, n_levels, scales) = cfg_key
+    (h1, w1, n_oct, tap_offsets, tap_sizes, n_levels, scales, ds_mode) = cfg_key
     geo = _geometry(h1, w1, n_oct)
     Hb, Wb = geo[0][4], geo[0][5]
     HbN = geo[1][4] if n_oct > 1 else 8
@@ -241,14 +260,15 @@ def _run(base1, taps_flat, cfg_key, interpret):
             tap_sizes=tap_sizes,
             n_levels=n_levels,
             scales=scales,
+            ds_mode=ds_mode,
         ),
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.ANY) for _ in out_shapes
+            pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes
         ),
         out_shape=tuple(out_shapes),
         scratch_shapes=[
@@ -269,6 +289,7 @@ def small_octaves_ladder(
     increments: Sequence[float],
     n_oct: int,
     scales: int,
+    ds_mode: str = "shrink",
     interpret: bool = False,
 ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Blur/DoG stacks for octaves >= 1 in ONE kernel launch.
@@ -290,7 +311,8 @@ def small_octaves_ladder(
     taps_flat = jnp.asarray(np.concatenate(taps_list), dtype=jnp.float32)
     h1, w1 = base1.shape
     cfg_key = (
-        h1, w1, n_oct, tuple(offsets), tuple(sizes), len(taps_list), scales
+        h1, w1, n_oct, tuple(offsets), tuple(sizes), len(taps_list), scales,
+        ds_mode,
     )
     outs = _run(base1, taps_flat, cfg_key, interpret)
     geo = _geometry(h1, w1, n_oct)

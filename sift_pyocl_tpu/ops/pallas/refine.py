@@ -208,7 +208,7 @@ def refine_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cap // KP_BLOCK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(5)
         ),

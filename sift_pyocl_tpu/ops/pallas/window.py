@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...oracle import DESC_GRID, DESC_ORI, MAG_FACTOR, N_ORI_BINS
 
-PAD_R, PAD_C = 80, 256  # gradient-plane padding per side (covers WIN<=144)
+PAD_R, PAD_C = 80, 256  # gradient-plane padding per side (covers WIN<=128)
 KP_BLOCK = 8            # keypoints per grid step
 
 
@@ -176,7 +176,9 @@ def orientation_hist_pallas(
     Returns (cap, 36) f32 (zeros for invalid slots).
     """
     cap = s_int.shape[0]
-    assert cap % KP_BLOCK == 0 and win <= 144
+    # win <= 128 is a hard kernel limit: _align_window keeps lanes [0:128]
+    # and the fetched block spans 256 lanes (residual < 128 + win <= 256).
+    assert cap % KP_BLOCK == 0 and win <= 128
     rows_f = win + 8
     half = win // 2
     r0 = jnp.round(fr).astype(jnp.int32)
@@ -185,8 +187,8 @@ def orientation_hist_pallas(
         num_scalar_prefetch=7,
         grid=(cap // KP_BLOCK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (KP_BLOCK, N_ORI_BINS), lambda i, *_: (i, 0),
@@ -302,7 +304,8 @@ def descriptor_hist_pallas(
     (ops.orient_desc.quantize_descriptors).
     """
     cap = s_int.shape[0]
-    assert cap % KP_BLOCK == 0 and win <= 144
+    # win <= 128: same hard limit as orientation_hist_pallas (see above).
+    assert cap % KP_BLOCK == 0 and win <= 128
     rows_f = win + 8
     half = win // 2
     r0 = jnp.round(fr).astype(jnp.int32)
@@ -311,8 +314,8 @@ def descriptor_hist_pallas(
         num_scalar_prefetch=8,
         grid=(cap // KP_BLOCK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (KP_BLOCK, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM

@@ -73,7 +73,8 @@ def blur_jax(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return conv1d_clamp_jax(conv1d_clamp_jax(img, taps, axis=1), taps, axis=0)
 
 
-def blur(img: jnp.ndarray, sigma: float, backend: str = "auto") -> jnp.ndarray:
+def blur(img: jnp.ndarray, sigma: float, backend: str = "auto",
+         interpret: bool = False) -> jnp.ndarray:
     """Separable Gaussian blur, routed to the fused Pallas kernel on TPU.
 
     backend: "pallas" | "xla" | "auto".  Measured on v5e: the Pallas kernel is
@@ -87,7 +88,7 @@ def blur(img: jnp.ndarray, sigma: float, backend: str = "auto") -> jnp.ndarray:
         from .pallas.conv import separable_blur_pallas
 
         taps = tuple(float(t) for t in gaussian_kernel(sigma))
-        return separable_blur_pallas(img, taps)
+        return separable_blur_pallas(img, taps, interpret=interpret)
     return blur_jax(img, sigma)
 
 
@@ -133,6 +134,7 @@ def prepare_input_jax(img: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
             data,
             float(np.sqrt(cfg.init_sigma**2 - cur_sigma**2)),
             backend=cfg.conv_backend,
+            interpret=cfg.pallas_interpret,
         )
     return data
 
@@ -143,7 +145,8 @@ def build_octave_jax(
     """One octave: blur stack (S+3,H,W) and DoG stack (S+2,H,W)."""
     blurs = [base]
     for inc in cfg.sigma_increments():
-        blurs.append(blur(blurs[-1], inc, backend=cfg.conv_backend))
+        blurs.append(blur(blurs[-1], inc, backend=cfg.conv_backend,
+                          interpret=cfg.pallas_interpret))
     stack = jnp.stack(blurs)
     dogs = stack[1:] - stack[:-1]
     return stack, dogs
@@ -157,16 +160,47 @@ def downsample2(img: jnp.ndarray) -> jnp.ndarray:
     costs ~4.5 ms at 1080p on this platform, the matmuls are ~free.
     """
     h, w = img.shape
+    # ceil-sized output ((h+1)//2 rows), matching img[::2, ::2] and the
+    # oracle's shrink2 for odd dims — the XLA and Pallas octave geometries
+    # must agree (ADVICE r1: 1080p octave 4 was 67 vs 68 rows).
     ER = jnp.asarray(
-        (np.arange(h)[None, :] == 2 * np.arange(h // 2)[:, None]).astype(np.float32)
+        (np.arange(h)[None, :] == 2 * np.arange((h + 1) // 2)[:, None]).astype(np.float32)
     )
     EC = jnp.asarray(
-        (np.arange(w)[None, :] == 2 * np.arange(w // 2)[:, None]).astype(np.float32)
+        (np.arange(w)[None, :] == 2 * np.arange((w + 1) // 2)[:, None]).astype(np.float32)
     )
     y = lax.dot_general(ER, img, (((1,), (0,)), ((), ())),
                         precision=lax.Precision.HIGHEST)
     return lax.dot_general(y, EC, (((1,), (1,)), ((), ())),
                            precision=lax.Precision.HIGHEST)
+
+
+def _bin_matrix(n: int) -> np.ndarray:
+    """((n+1)//2, n) averaging matrix: row i = 0.5 at 2i and 2i+1 (weight
+    1.0 at 2i when 2i+1 falls off an odd edge) — oracle.bin2 numerics."""
+    m = np.zeros(((n + 1) // 2, n), np.float32)
+    i = np.arange((n + 1) // 2)
+    has2 = 2 * i + 1 < n
+    m[i, 2 * i] = np.where(has2, 0.5, 1.0)
+    m[i[has2], 2 * i[has2] + 1] = 0.5
+    return m
+
+
+def downsample2_bin(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 mean binning (oracle.bin2 / reference preprocess.cl::bin) as MXU
+    matmuls, ceil-sized like downsample2."""
+    h, w = img.shape
+    BR = jnp.asarray(_bin_matrix(h))
+    BC = jnp.asarray(_bin_matrix(w))
+    y = lax.dot_general(BR, img, (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST)
+    return lax.dot_general(y, BC, (((1,), (1,)), ((), ())),
+                           precision=lax.Precision.HIGHEST)
+
+
+def downsample_octave(img: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """Octave downsample dispatch (cfg.downsample_mode: shrink | bin)."""
+    return downsample2_bin(img) if cfg.downsample_mode == "bin" else downsample2(img)
 
 
 def build_scale_space_jax(
@@ -190,13 +224,15 @@ def build_scale_space_jax(
             from .pallas.ladder import small_octaves_ladder
 
             octaves += small_octaves_ladder(
-                downsample2(blurs0[cfg.scales]), cfg.sigma_increments(),
-                n_oct - 1, cfg.scales,
+                downsample_octave(blurs0[cfg.scales], cfg),
+                cfg.sigma_increments(),
+                n_oct - 1, cfg.scales, ds_mode=cfg.downsample_mode,
+                interpret=cfg.pallas_interpret,
             )
         else:
-            b = blurs0[cfg.scales, ::2, ::2]
+            b = downsample_octave(blurs0[cfg.scales], cfg)
             for _ in range(1, n_oct):
                 blurs, dogs = build_octave_jax(b, cfg)
                 octaves.append((blurs, dogs))
-                b = blurs[cfg.scales, ::2, ::2]
+                b = downsample_octave(blurs[cfg.scales], cfg)
     return octaves

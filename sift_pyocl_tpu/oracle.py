@@ -114,6 +114,25 @@ def shrink2(img: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(img[::2, ::2])
 
 
+def bin2(img: np.ndarray) -> np.ndarray:
+    """Octave downsample: 2x2 mean binning (reference: preprocess.cl::bin).
+
+    Output is ceil-sized like shrink2 so both modes share one octave
+    geometry; at odd edges the block mean covers the available pixels
+    (edge-replicated — provenance: sizes chosen HERE, reference unavailable).
+    """
+    h, w = img.shape
+    p = np.pad(img, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float32)
+    return 0.25 * (
+        p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+    )
+
+
+def downsample(img: np.ndarray, cfg: SiftConfig) -> np.ndarray:
+    """Octave downsample dispatch: cfg.downsample_mode in {shrink, bin}."""
+    return bin2(img) if cfg.downsample_mode == "bin" else shrink2(img)
+
+
 # ----------------------------------------------------------------------------
 # Scale space (reference: plan.py::_one_octave blur ladder + algebra.cl::combine)
 # ----------------------------------------------------------------------------
@@ -153,7 +172,7 @@ def build_scale_space(
         blurs, dogs = build_octave(base, cfg)
         octaves.append((blurs, dogs))
         # blur[scales] has sigma = 2*init_sigma = next octave's init_sigma
-        base = shrink2(blurs[cfg.scales])
+        base = downsample(blurs[cfg.scales], cfg)
     return octaves
 
 
@@ -173,9 +192,11 @@ def local_maxmin(dogs: np.ndarray, cfg: SiftConfig, octave: int) -> np.ndarray:
     """
     S, H, W = dogs.shape
     bd = cfg.border_dist
-    eth = cfg.edge_thresh1 if octave == 0 and not cfg.double_im_size else cfg.edge_thresh
-    if octave == 0 and cfg.double_im_size:
-        eth = cfg.edge_thresh1  # octsize<=1 covers the doubled octave too
+    # Reference rule (plan.py octsize<=1, SURVEY §2.2 image.cl row): the
+    # stricter edge_thresh1 applies while octsize <= 1 — octave 0 always,
+    # AND octave 1 when the image was doubled (octsize ladder starts at 0.5).
+    octsize = 2.0 ** (octave - 1) if cfg.double_im_size else 2.0 ** octave
+    eth = cfg.edge_thresh1 if octsize <= 1.0 else cfg.edge_thresh
     out = []
     for s in range(1, S - 1):
         v = dogs[s, bd : H - bd, bd : W - bd]

@@ -24,7 +24,16 @@ def initialize_multihost(
     process_id: Optional[int] = None,
 ) -> Tuple[int, int]:
     """`jax.distributed.initialize` with env-based defaults; no-op when the
-    job is single-process.  Returns (process_index, process_count)."""
+    job is provably single-process.  Returns (process_index, process_count).
+
+    Explicit args win; otherwise, when a coordinator address or a known
+    cluster environment is present (JAX env vars, TPU pod metadata, SLURM /
+    OpenMPI), `jax.distributed.initialize()` runs with auto-detection so a
+    pod job configured purely via environment is NOT silently left
+    un-initialized (ADVICE r1).
+    """
+    import os
+
     import jax
 
     if num_processes is not None and num_processes > 1:
@@ -33,6 +42,32 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif num_processes is None:
+        # Only treat the env as multi-process when it provably names MORE
+        # than one worker (axon sets TPU_WORKER_HOSTNAMES=localhost even on
+        # a single chip — a bare hostname must NOT trigger initialization).
+        def _gt1(v):
+            return bool(v) and v.isdigit() and int(v) > 1
+
+        workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        env_configured = (
+            coordinator_address is not None
+            or any(
+                os.environ.get(k)
+                for k in (
+                    "JAX_COORDINATOR_ADDRESS",
+                    "COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS",
+                )
+            )
+            or len([h for h in workers.split(",") if h]) > 1
+            or _gt1(os.environ.get("SLURM_JOB_NUM_NODES", ""))
+            or _gt1(os.environ.get("OMPI_COMM_WORLD_SIZE", ""))
+        )
+        if env_configured and jax.process_count() == 1:
+            # auto-detection path; raises if the env is inconsistent, which
+            # is the correct failure mode for a mis-configured pod job
+            jax.distributed.initialize(coordinator_address=coordinator_address)
     return jax.process_index(), jax.process_count()
 
 

@@ -64,7 +64,10 @@ def chained_ms(
             s = s + jnp.sum(leaf).astype(jnp.float32)
         return c + perturb_scale * jnp.tanh(s * 1e-9)
 
-    @partial(jax.jit, static_argnames=("n",))
+    # n is DYNAMIC (traced): fori_loop lowers to while_loop, so ONE compiled
+    # executable serves every chain length — on platforms with slow remote
+    # compiles (axon) this halves bench wall time vs static_argnames=("n",).
+    @jax.jit
     def chain(x, n):
         return lax.fori_loop(0, n, body, x)
 
@@ -76,19 +79,21 @@ def chained_ms(
         _fetch(x)  # materialize before the timed region
         return x
 
-    # compile both chain lengths off the clock
-    _fetch(chain(fresh(), n=n_lo))
-    _fetch(chain(fresh(), n=n_hi))
+    lo = jnp.int32(n_lo)
+    hi = jnp.int32(n_hi)
+    # compile + warm both chain lengths off the clock
+    _fetch(chain(fresh(), lo))
+    _fetch(chain(fresh(), hi))
 
     slopes = []
     for _ in range(reps):
         x = fresh()
         t0 = time.perf_counter()
-        _fetch(chain(x, n=n_lo))
+        _fetch(chain(x, lo))
         t_lo = time.perf_counter() - t0
         x = fresh()
         t0 = time.perf_counter()
-        _fetch(chain(x, n=n_hi))
+        _fetch(chain(x, hi))
         t_hi = time.perf_counter() - t0
         slopes.append((t_hi - t_lo) / (n_hi - n_lo))
     return float(np.median(slopes) * 1e3)

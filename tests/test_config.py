@@ -39,3 +39,35 @@ def test_par_bridge():
     assert cfg.scales == 4
     assert cfg.edge_thresh == 0.1
     assert cfg.init_sigma == 1.6
+
+
+def test_matchplan_padding_buckets():
+    """MatchPlan(size=) honors a stable compile footprint (VERDICT r1)."""
+    from sift_pyocl_tpu.models.match_align import MatchPlan
+
+    mp = MatchPlan(size=1024)
+    import numpy as np
+    from sift_pyocl_tpu.oracle import KP_DTYPE
+
+    kp = np.zeros(300, KP_DTYPE)
+    d, m, xy = mp._padded(kp, np.ones(300, bool))
+    assert d.shape == (512, 128) and m.sum() == 300
+    kp2 = np.zeros(900, KP_DTYPE)
+    d2, m2, _ = mp._padded(kp2, np.ones(900, bool))
+    assert d2.shape == (1024, 128)
+    kp3 = np.zeros(1500, KP_DTYPE)
+    d3, _, _ = mp._padded(kp3, np.ones(1500, bool))
+    assert d3.shape == (2048, 128)  # beyond size: next pow2 bucket
+
+
+def test_siftplan_memory_precheck():
+    """Oversized plans raise at construction, not inside Mosaic
+    (reference: plan.py::_calc_memory)."""
+    import pytest
+
+    from sift_pyocl_tpu import SiftPlan
+
+    with pytest.raises(MemoryError):
+        SiftPlan(shape=(120000, 120000))
+    p = SiftPlan(shape=(512, 512))
+    assert 0 < p.calc_memory() < (1 << 30)

@@ -93,3 +93,112 @@ def test_upscale2_matmul_matches_oracle():
     got = np.asarray(upscale2_jax(jnp.asarray(img)))
     want = oracle.upscale2(img)
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Orientation / descriptor window kernels (ADVICE r1: the two largest Pallas
+# kernels had no interpret-mode parity tests) and the end-to-end pallas path.
+# ---------------------------------------------------------------------------
+
+
+def _octave_with_gradients(scene, cfg, octave=1):
+    # octave 1: the synthetic blob scenes put most extrema there (octave 0
+    # has only 1-2 at these blob sizes)
+    from sift_pyocl_tpu.ops.detect import detect_octave
+    from sift_pyocl_tpu.ops.orient_desc import gradient_planes
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
+
+    img = jnp.asarray(scene)
+    blurs, dogs = build_scale_space_jax(img, cfg)[octave]
+    kps = detect_octave(dogs, cfg, octave, 64)
+    mags, oris = gradient_planes(blurs, cfg)
+    return kps, mags, oris
+
+
+def test_orientation_hist_pallas_interpret_matches_xla(scene128, small_cfg):
+    """assign_orientations_pallas (dense slots) vs the XLA path: identical
+    sets of (s, r, c, angle) for valid keypoints."""
+    from sift_pyocl_tpu.ops.orient_desc import (
+        assign_orientations,
+        assign_orientations_pallas,
+    )
+    from sift_pyocl_tpu.ops.pallas.window import pad_grad_planes
+
+    cfg = small_cfg
+    kps, mags, oris = _octave_with_gradients(scene128, cfg)
+    assert int(np.asarray(kps.valid).sum()) > 5
+    ox = assign_orientations(mags, oris, kps, cfg, dcap=96)
+    mag_p, ori_p = pad_grad_planes(mags, oris)
+    op = assign_orientations_pallas(mag_p, ori_p, kps, cfg, interpret=True)
+    assert int(op.count) == int(ox.count)
+
+    def rows(o):
+        m = np.asarray(o.valid)
+        r = np.stack(
+            [
+                np.asarray(o.s_int)[m].astype(np.float32),
+                np.asarray(o.fr)[m],
+                np.asarray(o.fc)[m],
+                np.asarray(o.angle)[m],
+            ],
+            axis=1,
+        )
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_allclose(rows(op), rows(ox), atol=1e-4)
+
+
+def test_descriptor_hist_pallas_interpret_matches_xla(scene128, small_cfg):
+    """compute_descriptors_pallas vs the XLA separable-matmul formulation on
+    IDENTICAL oriented keypoints (u8 descriptors within 1 count)."""
+    from sift_pyocl_tpu.ops.orient_desc import (
+        assign_orientations,
+        compute_descriptors,
+        compute_descriptors_pallas,
+    )
+    from sift_pyocl_tpu.ops.pallas.window import pad_grad_planes
+
+    cfg = small_cfg
+    kps, mags, oris = _octave_with_gradients(scene128, cfg)
+    okps = assign_orientations(mags, oris, kps, cfg, dcap=96)
+    n = int(np.asarray(okps.valid).sum())
+    assert n > 5
+    mag_p, ori_p = pad_grad_planes(mags, oris)
+    dp = np.asarray(compute_descriptors_pallas(mag_p, ori_p, okps, cfg,
+                                               interpret=True))
+    dx = np.asarray(compute_descriptors(mags, oris, okps, cfg))
+    m = np.asarray(okps.valid)
+    diff = np.abs(dp[m].astype(int) - dx[m].astype(int))
+    assert diff.max() <= 1, f"max u8 diff {diff.max()}"
+    assert diff.mean() < 0.05
+
+
+def test_detect_and_describe_pallas_e2e_matches_xla(scene160):
+    """The full production path (conv + detect + orient + descriptor all in
+    Pallas, interpret mode) against the pure-XLA path — set-based keypoint
+    parity (ADVICE r1: the end-to-end pallas path was never cross-checked)."""
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import detect_and_describe
+    from sift_pyocl_tpu.oracle import KP_DTYPE
+
+    from conftest import match_keypoint_sets
+
+    def run(**kw):
+        cfg = SiftConfig(kp_per_octave_cap=256, **kw)
+        buf = detect_and_describe(jnp.asarray(scene160), cfg)
+        m = np.asarray(buf.valid)
+        out = np.zeros(int(m.sum()), dtype=KP_DTYPE)
+        out["x"] = np.asarray(buf.x)[m]
+        out["y"] = np.asarray(buf.y)[m]
+        out["scale"] = np.asarray(buf.scale)[m]
+        out["angle"] = np.asarray(buf.angle)[m]
+        out["desc"] = np.asarray(buf.desc)[m]
+        return out
+
+    kx = run(kp_backend="xla", conv_backend="xla")
+    kp = run(kp_backend="pallas", conv_backend="pallas", pallas_interpret=True)
+    assert len(kx) > 10
+    assert abs(len(kp) - len(kx)) <= max(2, int(0.05 * len(kx)))
+    hits, desc_l1 = match_keypoint_sets(kx, kp)
+    assert hits >= 0.95 * len(kx), f"{hits}/{len(kx)}"
+    assert desc_l1 < 0.2

@@ -75,3 +75,43 @@ def test_siftplan_accepts_u8_and_rgb(scene128):
     kp_rgb = SiftPlan(shape=rgb.shape[:2], dtype="uint8").keypoints(rgb)
     # grayscale of an (x,x,x) RGB image equals the grayscale image
     assert len(kp_rgb) == len(kp_u8)
+
+
+def test_double_im_size_end_to_end(small_cfg):
+    """Full pipeline with DoubleImSize on, vs the oracle (VERDICT r1: the
+    double_im_size path had no end-to-end coverage)."""
+    import dataclasses
+
+    from sift_pyocl_tpu.oracle import sift_numpy
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    cfg = dataclasses.replace(small_cfg, double_im_size=True)
+    scene = synthetic_scene((96, 96), n_blobs=12, seed=5)
+    ref = sift_numpy(scene, cfg)
+    got = SiftPlan(shape=scene.shape, config=cfg).keypoints(scene)
+    assert len(ref) > 5
+    hits, desc_l1 = match_keypoint_sets(ref, got)
+    assert hits >= 0.9 * len(ref), f"{hits}/{len(ref)}"
+    assert desc_l1 < 0.3
+
+
+def test_double_im_size_pallas_interpret(small_cfg):
+    """DoubleImSize through the full Pallas path (ladder geometry included)
+    in interpret mode, vs the XLA path."""
+    import dataclasses
+
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    scene = synthetic_scene((96, 96), n_blobs=12, seed=5)
+    cfg_x = dataclasses.replace(small_cfg, double_im_size=True,
+                                kp_backend="xla", conv_backend="xla")
+    cfg_p = dataclasses.replace(
+        small_cfg, double_im_size=True, kp_backend="pallas",
+        conv_backend="pallas", pallas_interpret=True,
+    )
+    kx = SiftPlan(shape=scene.shape, config=cfg_x).keypoints(scene)
+    kp = SiftPlan(shape=scene.shape, config=cfg_p).keypoints(scene)
+    assert len(kx) > 5
+    hits, desc_l1 = match_keypoint_sets(kx, kp)
+    assert hits >= 0.9 * len(kx), f"{hits}/{len(kx)}"
+    assert desc_l1 < 0.2

@@ -72,3 +72,57 @@ def test_scale_space_parity(scene128, small_cfg):
         assert ob.shape == jb.shape and od.shape == jd.shape
         np.testing.assert_allclose(ob, np.asarray(jb), atol=2e-3)
         np.testing.assert_allclose(od, np.asarray(jd), atol=2e-3)
+
+
+def test_downsample2_odd_dims_matches_slice(rand64):
+    """Ceil-sized selection-matmul downsample == img[::2, ::2] (ADVICE r1:
+    the Pallas and XLA octave geometries must agree at odd dims)."""
+    for shape in [(64, 48), (63, 47), (135, 241)]:
+        img = np.random.default_rng(1).uniform(0, 255, shape).astype(np.float32)
+        got = np.asarray(P.downsample2(jnp.asarray(img)))
+        np.testing.assert_array_equal(got, img[::2, ::2])
+
+
+def test_bin2_oracle_and_jax():
+    """2x2 mean binning (reference: preprocess.cl::bin) — oracle vs matmuls."""
+    rng = np.random.default_rng(2)
+    for shape in [(64, 48), (63, 47)]:
+        img = rng.uniform(0, 255, shape).astype(np.float32)
+        want = O.bin2(img)
+        assert want.shape == ((shape[0] + 1) // 2, (shape[1] + 1) // 2)
+        # interior blocks are exact 2x2 means
+        np.testing.assert_allclose(
+            want[0, 0], img[:2, :2].mean(), rtol=1e-6
+        )
+        got = np.asarray(P.downsample2_bin(jnp.asarray(img)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_scale_space_bin_mode_parity(scene128):
+    """Full pyramid with downsample_mode='bin' — XLA vs oracle."""
+    from sift_pyocl_tpu import SiftConfig
+
+    cfg = SiftConfig(kp_per_octave_cap=256, downsample_mode="bin",
+                     conv_backend="xla")
+    ref = O.build_scale_space(scene128, cfg)
+    got = P.build_scale_space_jax(jnp.asarray(scene128), cfg)
+    assert len(ref) == len(got)
+    for (rb, rd), (gb, gd) in zip(ref, got):
+        assert rb.shape == gb.shape
+        np.testing.assert_allclose(np.asarray(gb), rb, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(gd), rd, atol=5e-2)
+
+
+def test_ladder_bin_mode_interpret(scene128):
+    """Pallas ladder with ds_mode='bin' vs the oracle pyramid."""
+    from sift_pyocl_tpu import SiftConfig
+
+    cfg = SiftConfig(kp_per_octave_cap=256, downsample_mode="bin",
+                     conv_backend="pallas", pallas_interpret=True)
+    ref = O.build_scale_space(scene128, cfg)
+    got = P.build_scale_space_jax(jnp.asarray(scene128), cfg)
+    assert len(ref) == len(got)
+    for o, ((rb, rd), (gb, gd)) in enumerate(zip(ref, got)):
+        assert rb.shape == gb.shape, f"octave {o}"
+        np.testing.assert_allclose(np.asarray(gb), rb, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(gd), rd, atol=5e-2)
