@@ -13,12 +13,15 @@ buffers (no atomics, no per-scale host syncs).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..config import SiftConfig
 from ..oracle import KP_DTYPE
@@ -84,16 +87,20 @@ def detect_and_describe(img: jnp.ndarray, cfg: SiftConfig) -> KeypointBuffer:
     (TPU kernels in ops/pallas/ — the production path; the XLA gathers and
     nonzero-compaction are pathological on TPU).
     """
+    return describe_octaves(build_scale_space_jax(img, cfg), img.shape[:2], cfg)
+
+
+def describe_octaves(octaves, shape: Tuple[int, int],
+                     cfg: SiftConfig) -> KeypointBuffer:
+    """Detection + orientation + descriptors over a prebuilt scale space.
+
+    Split out of `detect_and_describe` so the pyramid stage and this stage
+    can run on DIFFERENT devices (parallel/pipeline_octaves.py — PP)."""
     from ..ops.detect import detect_octave_pallas
-    from ..ops.orient_desc import (
-        assign_orientations_pallas,
-        compute_descriptors_pallas,
-    )
+    from ..ops.orient_desc import orient_and_describe_fused_pallas
     from ..ops.pallas.window import pad_grad_planes
 
     use_pallas = _resolve_kp_backend(cfg) == "pallas"
-    shape = img.shape[:2]
-    octaves = build_scale_space_jax(img, cfg)
     caps = octave_capacities(shape, cfg)
     xs, ys, scales_, angles, descs, valids, counts = [], [], [], [], [], [], []
     octsize = 0.5 if cfg.double_im_size else 1.0
@@ -106,11 +113,8 @@ def detect_and_describe(img: jnp.ndarray, cfg: SiftConfig) -> KeypointBuffer:
             )
             extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
             mag_p, ori_p = pad_grad_planes(mags, oris)
-            okps = assign_orientations_pallas(
-                mag_p, ori_p, kps, cfg, dcap, interpret=cfg.pallas_interpret
-            )
-            desc = compute_descriptors_pallas(
-                mag_p, ori_p, okps, cfg, interpret=cfg.pallas_interpret
+            okps, desc = orient_and_describe_fused_pallas(
+                mag_p, ori_p, kps, cfg, interpret=cfg.pallas_interpret
             )
         else:
             kps = detect_octave(dogs, cfg, o, cap)
@@ -176,6 +180,15 @@ class SiftPlan:
         self.cfg = cfg
         self._check_memory()
         self._fn = jax.jit(partial(detect_and_describe, cfg=cfg))
+        # verbose memory/geometry report (reference: plan.py::_calc_memory
+        # logs a device-memory breakdown at plan construction)
+        logger.info(
+            "SiftPlan %s %s: %d octaves, caps %s, kp backend %s, "
+            "est. device memory %.1f MiB",
+            self.shape, self.dtype, cfg.n_octaves(self.shape),
+            octave_capacities(self.shape, cfg), _resolve_kp_backend(cfg),
+            self.calc_memory() / 2**20,
+        )
 
     def calc_memory(self) -> int:
         """Estimated peak device bytes for this plan's arrays (reference:

@@ -33,6 +33,8 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Tuple
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,6 +58,10 @@ class VOConfig(NamedTuple):
     huber_px: float = 3.0
     ratio_sq: float = 0.7     # looser than Lowe 0.5329: VO re-sees its map
     match_metric: str = "L2"
+    # --- robustness (tracking-loss handling; VERDICT r1 #4) ---
+    min_track_matches: int = 12   # below this the frame counts as LOST
+    reloc_ratio_sq: float = 0.85  # looser re-localization gate when lost
+    max_rms_px: float = 12.0      # PnP residual gate on pose acceptance
 
 
 class VOState(NamedTuple):
@@ -81,6 +87,8 @@ class VOOut(NamedTuple):
     n_matches: jnp.ndarray
     rms_px: jnp.ndarray   # () f32 PnP inlier RMS
     ba_cost: jnp.ndarray  # () f32 robust BA cost after the iteration
+    tracked: jnp.ndarray  # () bool False = frame rejected (tracking loss);
+                          # pose held, window retained for re-localization
 
 
 def _kp_xy(buf: KeypointBuffer) -> jnp.ndarray:
@@ -97,10 +105,14 @@ def _backproject(K, R, t, uv, depth):
     return (Xc - t) @ R  # R^T (Xc - t)
 
 
+logger = logging.getLogger(__name__)
+
+
 def vo_init(frame0: jnp.ndarray, K: jnp.ndarray, cfg: SiftConfig,
             vo: VOConfig, init_depth: float = 5.0) -> VOState:
     """Bootstrap: frame 0 at identity; its strongest keypoints seed the map
     at a nominal depth (BA shapes the cloud as the window fills)."""
+    logger.info("vo_init: frame %s, window %d, %d pts/frame, metric %s", frame0.shape, vo.window, vo.pts_per_frame, vo.match_metric)
     W, PN, OBS_F = vo.window, vo.pts_per_frame, vo.obs_per_frame
     assert OBS_F >= PN, "obs_per_frame must cover the spawned points"
     buf = detect_and_describe(frame0, cfg)
@@ -145,26 +157,46 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     # 2. match new descriptors against the window map
     map_desc = state.Xdesc.reshape(P, 128)
     map_valid = state.Xvalid.reshape(P) > 0
-    keep, map_id, dist = match_descriptors_dense(
+    keep, map_id, dist, dist2 = match_descriptors_dense(
         buf.desc, buf.valid, map_desc, map_valid,
         metric=vo.match_metric, ratio_sq=vo.ratio_sq,
     )
     n_matches = jnp.sum(keep.astype(jnp.int32))
 
+    # 2b. tracking-loss handling: when the strict ratio-test match count
+    # collapses, re-gate the SAME distances with the looser re-localization
+    # ratio (free — d2 is already computed) and feed that to PnP instead
+    finite = dist2 < jnp.float32(np.float32(2**31 - 1))
+    keep_loose = buf.valid & finite & (dist2 > 0) & (
+        dist < vo.reloc_ratio_sq * dist2
+    )
+    strict_ok = n_matches >= vo.min_track_matches
+    use_loose = (~strict_ok) & (
+        jnp.sum(keep_loose.astype(jnp.int32)) >= vo.min_track_matches
+    )
+    keep_pnp = jnp.where(use_loose, keep_loose, keep)
+
     # 3. robust pose refinement on the best pnp_n matches (approx_max_k:
     # the TPU-native selection — exact top_k over ~6K slots costs ~1 ms,
     # and any `pnp_n` good matches serve equally well)
-    score = jnp.where(keep, -dist, -jnp.inf)
+    score = jnp.where(keep_pnp, -dist, -jnp.inf)
     _, sel = lax.approx_max_k(score, vo.pnp_n)
-    w_sel = keep[sel].astype(jnp.float32)
+    w_sel = keep_pnp[sel].astype(jnp.float32)
     uv_sel = kp_uv[sel]
     X_sel = state.X.reshape(P, 3)[map_id[sel]]
     R_prev = state.Rs[W - 1]
     t_prev = state.ts[W - 1]
-    R_new, t_new, rms = pnp_refine(
+    R_fit, t_fit, rms = pnp_refine(
         K, R_prev, t_prev, X_sel, uv_sel, w_sel,
         iters=vo.pnp_iters, huber_px=vo.huber_px,
     )
+    # pose acceptance gate: enough matches fed in AND sane residual;
+    # otherwise hold the previous pose (constant-position fallback) and mark
+    # the frame untracked — the window is NOT rolled below, so the map
+    # survives blank/occluded frames for re-localization
+    tracked = (jnp.sum(w_sel) >= vo.min_track_matches) & (rms < vo.max_rms_px)
+    R_new = jnp.where(tracked, R_fit, R_prev)
+    t_new = jnp.where(tracked, t_fit, t_prev)
 
     # 4a. roll the window; stored ids shift one frame down
     Rs = jnp.concatenate([state.Rs[1:], R_new[None]], axis=0)
@@ -196,7 +228,7 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     nok = (buf.valid & ~keep)[nsel].astype(jnp.float32)
     nuv = kp_uv[nsel]
     Xbp = _backproject(K, R_new, t_new, nuv, jnp.full((PN,), med_depth))
-    pk, pidx, _pd = match_descriptors_dense(
+    pk, pidx, _pd, _pd2 = match_descriptors_dense(
         buf.desc[nsel], nok > 0, state.prev_desc, state.prev_valid,
         metric=vo.match_metric, ratio_sq=vo.ratio_sq,
     )
@@ -239,7 +271,7 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
         huber_px=vo.huber_px, cg_iters=vo.cg_iters, n_points=P,
     )
 
-    new_state = VOState(
+    rolled = VOState(
         Rs=params2.Rs,
         ts=params2.ts,
         X=params2.X.reshape(W, PN, 3),
@@ -254,8 +286,24 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
         lam=lam2,
         frame=state.frame + 1,
     )
+    # keyframe retention on tracking loss: hold the whole window (map,
+    # observations, poses) so blank/occluded frames cannot flush good state;
+    # only the previous-frame buffers and the counter advance
+    hold = state._replace(
+        prev_desc=buf.desc,
+        prev_uv=kp_uv,
+        prev_valid=buf.valid,
+        frame=state.frame + 1,
+    )
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            jnp.reshape(tracked, (1,) * a.ndim) if a.ndim else tracked, a, b
+        ),
+        rolled, hold,
+    )
     out = VOOut(
-        R=params2.Rs[W - 1], t=params2.ts[W - 1],
+        R=new_state.Rs[W - 1], t=new_state.ts[W - 1],
         n_kp=n_kp, n_matches=n_matches, rms_px=rms, ba_cost=cost,
+        tracked=tracked,
     )
     return new_state, out

@@ -110,9 +110,11 @@ def match_descriptors_dense(
 ):
     """Per-slot (uncompacted) ratio-test matching.
 
-    Returns (keep (N1,) bool, idx2 (N1,) int32, dist (N1,) f32) aligned with
-    desc1's slots — the scatter-free form used by the fused VO step, where
-    downstream selection happens with top_k instead of nonzero.
+    Returns (keep (N1,) bool, idx2 (N1,) int32, dist (N1,) f32, dist2 (N1,)
+    f32) aligned with desc1's slots — the scatter-free form used by the
+    fused VO step, where downstream selection happens with top_k instead of
+    nonzero.  dist2 (second-best distance) lets callers re-gate with a
+    looser ratio for free (VO re-localization).
     """
     if metric == "L1":
         d1, d2, i1 = _best2_l1(desc1, desc2, valid2)
@@ -122,7 +124,7 @@ def match_descriptors_dense(
         raise ValueError(f"unknown metric {metric!r}")
     finite = d2 < jnp.float32(INT_MAX)
     keep = valid1 & finite & (d2 > 0) & (d1 < ratio_sq * d2)
-    return keep, i1, d1
+    return keep, i1, d1, d2
 
 
 @partial(jax.jit, static_argnames=("metric", "ratio_sq", "xy_radius"))

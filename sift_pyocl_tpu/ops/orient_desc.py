@@ -419,3 +419,44 @@ def compute_descriptors(
         batch_size=chunk,
     )
     return desc
+
+
+def orient_and_describe_fused_pallas(
+    mag_p: jnp.ndarray,
+    ori_p: jnp.ndarray,
+    kps: RefinedKeypoints,
+    cfg: SiftConfig,
+    max_ori: int = 2,
+    interpret: bool = False,
+) -> Tuple[OrientedKeypoints, jnp.ndarray]:
+    """Fused Pallas path: ONE kernel computes orientations AND descriptors,
+    sharing one window DMA pair per keypoint (round-2 perf; replaces the
+    assign_orientations_pallas -> compute_descriptors_pallas pair which
+    fetched the same neighborhoods twice and ran a dense duplicate-slot
+    grid).  Duplicate slots are i*max_ori + o (keypoint-major).
+
+    Returns (OrientedKeypoints over cap*max_ori dense slots, desc u8)."""
+    from .pallas.window import orient_desc_fused_pallas
+
+    win = _desc_window_size(cfg)
+    sigma_oct = cfg.init_sigma * 2.0 ** (kps.fs / cfg.scales)
+    ang, ok, raw = orient_desc_fused_pallas(
+        mag_p, ori_p, kps.s_int, kps.fr, kps.fc, sigma_oct, kps.valid,
+        win=win, max_ori=max_ori, interpret=interpret,
+    )
+    cap = kps.fr.shape[0]
+
+    def rep(x):
+        return jnp.repeat(x, max_ori, axis=0)       # slot i*max_ori + o
+
+    okps = OrientedKeypoints(
+        s_int=rep(kps.s_int),
+        fs=rep(kps.fs),
+        fr=rep(kps.fr),
+        fc=rep(kps.fc),
+        angle=ang.reshape(-1),
+        valid=ok.reshape(-1),
+        count=jnp.sum(ok.astype(jnp.int32)),
+    )
+    desc = quantize_descriptors(raw.reshape(cap * max_ori, 128))
+    return okps, desc

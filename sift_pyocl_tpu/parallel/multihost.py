@@ -13,9 +13,12 @@ controller restarts it, and state reloads from sfm/checkpoint.py snapshots.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def initialize_multihost(
@@ -37,6 +40,8 @@ def initialize_multihost(
     import jax
 
     if num_processes is not None and num_processes > 1:
+        logger.info("jax.distributed.initialize: %d processes, coordinator %s",
+                    num_processes, coordinator_address)
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -67,6 +72,8 @@ def initialize_multihost(
         if env_configured and jax.process_count() == 1:
             # auto-detection path; raises if the env is inconsistent, which
             # is the correct failure mode for a mis-configured pod job
+            logger.info("multi-process environment detected; running "
+                        "jax.distributed.initialize() auto-detection")
             jax.distributed.initialize(coordinator_address=coordinator_address)
     return jax.process_index(), jax.process_count()
 

@@ -11,6 +11,7 @@ New subsystem — no reference counterpart (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -25,6 +26,15 @@ from .ba import BAObs, BAParams, run_ba
 from .geometry import pose_compose
 from .pnp import ransac_pnp
 from .twoview import initialize_two_view
+
+logger = logging.getLogger(__name__)
+
+
+def _say(verbose: bool, msg: str, *args):
+    """Runtime observability (reference parity: per-module logging)."""
+    logger.info(msg, *args)
+    if verbose:
+        print(msg % args if args else msg)
 
 
 def _pow2_pad(n: int, floor: int = 256) -> int:
@@ -58,6 +68,9 @@ class IncrementalSfM:
         ba_every: int = 8,
         ratio_sq: float = 0.7,
         seed: int = 0,
+        loop_closure: bool = True,
+        loop_min_inliers: int = 15,
+        map_match_window: Optional[int] = None,
     ):
         self.K = np.asarray(K, np.float32)
         self.cfg = cfg or SiftConfig()
@@ -70,6 +83,17 @@ class IncrementalSfM:
         # outlier-gated downstream by RANSAC-PnP / reprojection checks
         self.ratio_sq = ratio_sq
         self.key = jax.random.key(seed)
+        # loop closure (BASELINE config 4 "pose graph"): after sequential
+        # registration, re-match late frames against the oldest map points
+        # (bootstrap-anchored, hence drift-free up to gauge), turn accepted
+        # PnP poses into pose-graph edges, optimize, and re-anchor the map.
+        self.loop_closure = loop_closure
+        self.loop_min_inliers = loop_min_inliers
+        # when set, sequential PnP matches only points first observed in the
+        # last W cameras (local-map tracking as real-time systems do); global
+        # anchoring then comes from loop closure alone
+        self.map_match_window = map_match_window
+        self.n_loop_edges = 0
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -136,8 +160,8 @@ class IncrementalSfM:
         if boot is None:
             return None
         b, m, uv0, uvb, init = boot
-        if verbose:
-            print(f"bootstrap: frames (0, {b}), {int(init.n_inliers)} inliers")
+        _say(verbose, "bootstrap: frames (0, %d), %d inliers",
+             b, int(init.n_inliers))
 
         # --- map state (host) ---
         inl = np.asarray(init.inliers)[: len(m)]
@@ -155,15 +179,23 @@ class IncrementalSfM:
         Rs = [np.eye(3, dtype=np.float32), np.asarray(init.R, np.float32)]
         ts = [np.zeros(3, np.float32), np.asarray(init.t, np.float32)]
         frames_reg = [0, b]
+        pt_first_cam = np.zeros(len(map_X), np.int32)  # all bootstrap points
 
         # --- sequential registration of the remaining frames ---
         order = [f for f in range(1, F) if f != b]
         order = [f for f in order if f > b] + [f for f in order if f < b]
         for f in sorted(set(order)):
-            mm = self._match(map_desc, kps[f]["desc"])
+            if self.map_match_window is not None:
+                lo = max(0, len(Rs) - self.map_match_window)
+                sel = np.nonzero(pt_first_cam >= lo)[0]
+                mm = self._match(map_desc[sel], kps[f]["desc"])
+                if len(mm):
+                    mm = np.stack([sel[mm[:, 0]], mm[:, 1]], 1)
+            else:
+                mm = self._match(map_desc, kps[f]["desc"])
             if len(mm) < 12:
-                if verbose:
-                    print(f"frame {f}: only {len(mm)} map matches, skipped")
+                _say(verbose, "frame %d: only %d map matches, skipped",
+                     f, len(mm))
                 continue
             n = _pow2_pad(len(mm))
             Xp = np.zeros((n, 3), np.float32)
@@ -180,8 +212,8 @@ class IncrementalSfM:
                 thresh_px=self.reproj_px,
             )
             if int(n_inl) < 10:
-                if verbose:
-                    print(f"frame {f}: PnP failed ({int(n_inl)} inliers)")
+                _say(verbose, "frame %d: PnP failed (%d inliers)",
+                     f, int(n_inl))
                 continue
             cam_id = len(Rs)
             cam_of_frame[f] = cam_id
@@ -204,14 +236,26 @@ class IncrementalSfM:
                 kps, f, prev_f, cam_of_frame, Rs, ts, mm,
                 map_X, map_desc, obs_cam, obs_pt, obs_uv,
             )
-            map_X, map_desc = self._map_arrays
+            map_X, map_desc, n_new = self._map_arrays
+            if n_new:
+                pt_first_cam = np.concatenate(
+                    [pt_first_cam,
+                     np.full(n_new, cam_of_frame[prev_f], np.int32)]
+                )
 
             # periodic BA
             if len(Rs) % self.ba_every == 0:
                 Rs, ts, map_X = self._run_ba(Rs, ts, map_X, obs_cam, obs_pt, obs_uv)
                 self._map_arrays = (map_X, map_desc)
-            if verbose:
-                print(f"frame {f}: cam {cam_id}, {int(n_inl)} PnP inliers, map {len(map_X)}")
+            _say(verbose, "frame %d: cam %d, %d PnP inliers, map %d",
+                 f, cam_id, int(n_inl), len(map_X))
+
+        # --- loop closure + pose graph (BASELINE config 4) ---
+        if self.loop_closure and len(Rs) > 3:
+            Rs, ts, map_X = self._pose_graph_close(
+                kps, frames_reg, cam_of_frame, Rs, ts,
+                map_X, map_desc, pt_first_cam, verbose,
+            )
 
         # --- final global BA ---
         Rs, ts, map_X = self._run_ba(Rs, ts, map_X, obs_cam, obs_pt, obs_uv, iters=25)
@@ -231,7 +275,7 @@ class IncrementalSfM:
         used_f = set(mm[:, 1].tolist())
         fresh = [(i, j) for i, j in m if j not in used_f]
         if len(fresh) < 5:
-            self._map_arrays = (map_X, map_desc)
+            self._map_arrays = (map_X, map_desc, 0)
             return
         fresh = np.array(fresh, np.int32)
         ca, cb = cam_of_frame[prev_f], cam_of_frame[f]
@@ -263,7 +307,100 @@ class IncrementalSfM:
                     [kps[prev_f]["x"][i], kps[prev_f]["y"][i]],
                     [kps[f]["x"][j], kps[f]["y"][j]],
                 ]
-        self._map_arrays = (map_X, map_desc)
+        self._map_arrays = (map_X, map_desc, len(Xn))
+
+    def _pose_graph_close(self, kps, frames_reg, cam_of_frame, Rs, ts,
+                          map_X, map_desc, pt_first_cam, verbose=False):
+        """Detect loop closures and optimize the pose graph.
+
+        Loop detection: match each late frame's descriptors against the
+        OLDEST map points (first observed by the bootstrap cameras — those
+        are in the gauge-fixed world frame, so a PnP pose against them is a
+        drift-free absolute measurement).  Accepted PnP results become
+        strong 0->c pose-graph edges alongside unit-weight odometry edges;
+        after sfm.posegraph.optimize_pose_graph, every map point is
+        re-anchored through its first-observing camera's correction.
+        """
+        from .posegraph import PoseGraph, optimize_pose_graph, relative_pose
+        from .pnp import ransac_pnp
+
+        C = len(Rs)
+        old_mask = pt_first_cam <= 1
+        if old_mask.sum() < 20:
+            return Rs, ts, map_X
+        old_idx = np.nonzero(old_mask)[0]
+        ei, ej, eZR, eZt, ew = [], [], [], [], []
+        for c in range(1, C):
+            ZR, Zt = relative_pose(
+                jnp.asarray(Rs[c - 1]), jnp.asarray(ts[c - 1]),
+                jnp.asarray(Rs[c]), jnp.asarray(ts[c]),
+            )
+            ei.append(c - 1)
+            ej.append(c)
+            eZR.append(np.asarray(ZR))
+            eZt.append(np.asarray(Zt))
+            ew.append(1.0)
+        K = jnp.asarray(self.K)
+        n_lc = 0
+        for f in frames_reg:
+            c = cam_of_frame[f]
+            if c <= 1:
+                continue
+            mm = self._match(map_desc[old_idx], kps[f]["desc"])
+            if len(mm) < self.loop_min_inliers:
+                continue
+            n = _pow2_pad(len(mm))
+            Xp = np.zeros((n, 3), np.float32)
+            Xp[: len(mm)] = map_X[old_idx[mm[:, 0]]]
+            uvp = np.zeros((n, 2), np.float32)
+            uvp[: len(mm)] = np.stack(
+                [kps[f]["x"][mm[:, 1]], kps[f]["y"][mm[:, 1]]], 1
+            )
+            wp = (np.arange(n) < len(mm)).astype(np.float32)
+            R, t, _inl, n_inl = ransac_pnp(
+                self._next_key(), K, jnp.asarray(Rs[c]), jnp.asarray(ts[c]),
+                jnp.asarray(Xp), jnp.asarray(uvp), jnp.asarray(wp),
+                thresh_px=self.reproj_px,
+            )
+            if int(n_inl) < self.loop_min_inliers:
+                continue
+            # T_0 = I, so the absolute PnP pose IS the 0->c edge transform
+            ei.append(0)
+            ej.append(c)
+            eZR.append(np.asarray(R, np.float32))
+            eZt.append(np.asarray(t, np.float32))
+            ew.append(3.0)
+            n_lc += 1
+        self.n_loop_edges = n_lc
+        if n_lc == 0:
+            return Rs, ts, map_X
+        graph = PoseGraph(
+            i=jnp.asarray(np.asarray(ei, np.int32)),
+            j=jnp.asarray(np.asarray(ej, np.int32)),
+            Z_R=jnp.asarray(np.stack(eZR)),
+            Z_t=jnp.asarray(np.stack(eZt)),
+            w=jnp.asarray(np.asarray(ew, np.float32)),
+        )
+        free = jnp.asarray((np.arange(C) > 0).astype(np.float32))
+        R_old = np.stack(Rs)
+        t_old = np.stack(ts)
+        Rn, tn, cost = optimize_pose_graph(
+            jnp.asarray(R_old), jnp.asarray(t_old), graph, free,
+            iters=20, huber=10.0,
+        )
+        Rn = np.asarray(Rn, np.float32)
+        tn = np.asarray(tn, np.float32)
+        self._pgo_debug = (R_old, t_old, Rn, tn,
+                           [np.stack(eZR[C - 1:]), np.stack(eZt[C - 1:]),
+                            ej[C - 1:]] if n_lc else None)
+        _say(verbose, "pose graph: %d loop edges, cost %.4f",
+             n_lc, float(cost))
+        # re-anchor map points through their first-observing camera:
+        # X' = R_new_a^T (R_old_a X + t_old_a - t_new_a)
+        a = np.clip(pt_first_cam, 0, C - 1)
+        Xc = np.einsum("pij,pj->pi", R_old[a], map_X) + t_old[a]
+        map_X = np.einsum("pji,pj->pi", Rn[a], Xc - tn[a]).astype(np.float32)
+        return [Rn[i] for i in range(C)], [tn[i] for i in range(C)], map_X
 
     def _run_ba(self, Rs, ts, map_X, obs_cam, obs_pt, obs_uv, iters: int = 12):
         C = len(Rs)

@@ -17,11 +17,17 @@ from ..sfm.synthetic import look_at
 
 
 def make_trajectory(n_frames: int, radius: float = 8.0, arc_deg: float = 40.0,
-                    bob: float = 0.3):
-    """Arc of world-to-camera poses looking at the origin."""
+                    bob: float = 0.3, out_and_back: bool = False):
+    """Arc of world-to-camera poses looking at the origin.
+
+    out_and_back: traverse the arc and RETURN (0 -> arc -> 0), so the last
+    frames revisit the first views — a loop-closure sequence."""
     Rs, ts = [], []
     for i in range(n_frames):
-        a = np.deg2rad(arc_deg) * (i / max(n_frames - 1, 1) - 0.5)
+        u = i / max(n_frames - 1, 1)
+        if out_and_back:
+            u = 1.0 - abs(2.0 * u - 1.0)   # 0 -> 1 -> 0
+        a = np.deg2rad(arc_deg) * (u - 0.5)
         center = np.array([radius * np.sin(a), bob * np.sin(3 * a), -radius * np.cos(a)])
         R, t = look_at(center, np.zeros(3))
         Rs.append(R)
@@ -37,6 +43,7 @@ def render_sequence(
     seed: int = 0,
     radius: float = 8.0,
     arc_deg: float = 40.0,
+    out_and_back: bool = False,
 ) -> Tuple[np.ndarray, List[np.ndarray], np.ndarray, np.ndarray]:
     """Returns (K, frames, gt_Rs, gt_ts)."""
     rng = np.random.default_rng(seed)
@@ -53,7 +60,8 @@ def render_sequence(
         [-1.0, 1.0], (n_points, n_sat)
     )
     sat_sig = rng.uniform(0.5, 1.2, (n_points, n_sat))       # in units of size3d
-    Rs, ts = make_trajectory(n_frames, radius=radius, arc_deg=arc_deg)
+    Rs, ts = make_trajectory(n_frames, radius=radius, arc_deg=arc_deg,
+                             out_and_back=out_and_back)
 
     cc, rr = np.meshgrid(np.arange(w), np.arange(h))
     frames = []

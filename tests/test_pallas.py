@@ -202,3 +202,45 @@ def test_detect_and_describe_pallas_e2e_matches_xla(scene160):
     hits, desc_l1 = match_keypoint_sets(kx, kp)
     assert hits >= 0.95 * len(kx), f"{hits}/{len(kx)}"
     assert desc_l1 < 0.2
+
+
+def test_fused_orient_desc_pallas_interpret_matches_xla(scene128, small_cfg):
+    """The fused single-kernel orientation+descriptor path (one window DMA
+    pair per keypoint, in-kernel smoothing/peak tail) vs the XLA path:
+    identical angle sets and bit-identical u8 descriptors."""
+    from sift_pyocl_tpu.ops.orient_desc import (
+        assign_orientations,
+        compute_descriptors,
+        orient_and_describe_fused_pallas,
+    )
+    from sift_pyocl_tpu.ops.pallas.window import pad_grad_planes
+
+    cfg = small_cfg
+    kps, mags, oris = _octave_with_gradients(scene128, cfg)
+    okx = assign_orientations(mags, oris, kps, cfg, dcap=96)
+    dx = np.asarray(compute_descriptors(mags, oris, okx, cfg))
+    mag_p, ori_p = pad_grad_planes(mags, oris)
+    okf, df = orient_and_describe_fused_pallas(
+        mag_p, ori_p, kps, cfg, interpret=True
+    )
+    assert int(okf.count) == int(okx.count) > 5
+
+    def rows(o, d):
+        m = np.asarray(o.valid)
+        r = np.stack(
+            [
+                np.asarray(o.s_int)[m].astype(np.float32),
+                np.asarray(o.fr)[m],
+                np.asarray(o.fc)[m],
+                np.asarray(o.angle)[m],
+            ],
+            axis=1,
+        )
+        order = np.lexsort(r.T[::-1])
+        return r[order], np.asarray(d)[m][order]
+
+    rx, descx = rows(okx, dx)
+    rf, descf = rows(okf, np.asarray(df))
+    np.testing.assert_allclose(rf, rx, atol=1e-4)
+    diff = np.abs(descx.astype(int) - descf.astype(int))
+    assert diff.max() <= 1 and diff.mean() < 0.01
