@@ -19,13 +19,16 @@ from .benchtool import chained_ms
 
 
 def stage_times(plan, image=None, n_hi: int = 9, reps: int = 2) -> Dict[str, float]:
-    """Cumulative millisecond timings (each row includes the previous ones):
-    pyramid -> +detect -> +orient -> +descriptor(=end_to_end)."""
-    from ..models.sift import detect_and_describe, octave_capacities, _resolve_kp_backend
+    """Cumulative millisecond timings (each row includes the previous ones).
+
+    Pallas path stages: pyramid -> +detect -> +orient_desc (one fused
+    kernel since round 2) = end_to_end.  XLA path keeps the split
+    orient / descriptor rows."""
+    from ..models.sift import octave_capacities, _resolve_kp_backend
     from ..ops.detect import detect_octave, detect_octave_pallas
     from ..ops.orient_desc import (
-        assign_orientations, assign_orientations_pallas,
-        compute_descriptors, compute_descriptors_pallas, gradient_planes,
+        assign_orientations, compute_descriptors, gradient_planes,
+        orient_and_describe_fused_pallas,
     )
     from ..ops.pallas.window import pad_grad_planes
     from ..ops.pyramid import build_scale_space_jax
@@ -55,23 +58,29 @@ def stage_times(plan, image=None, n_hi: int = 9, reps: int = 2) -> Dict[str, flo
                 mags, oris = gradient_planes(blurs, cfg)
                 if use_pallas:
                     mp, op = pad_grad_planes(mags, oris)
-                    okps = assign_orientations_pallas(mp, op, kps, cfg, caps[o][1])
+                    okps, desc = orient_and_describe_fused_pallas(
+                        mp, op, kps, cfg
+                    )
+                    acc.append(
+                        okps.angle.sum() + desc.astype(jnp.float32).sum()
+                    )
                 else:
                     okps = assign_orientations(mags, oris, kps, cfg, caps[o][1])
-                acc.append(okps.angle.sum() + okps.valid.sum())
-                if stage == "orient":
-                    continue
-                if use_pallas:
-                    desc = compute_descriptors_pallas(mp, op, okps, cfg)
-                else:
+                    acc.append(okps.angle.sum() + okps.valid.sum())
+                    if stage == "orient":
+                        continue
                     desc = compute_descriptors(mags, oris, okps, cfg)
-                acc.append(desc.astype(jnp.float32).sum())
+                    acc.append(desc.astype(jnp.float32).sum())
             return {"s": acc}
 
         return f
 
+    stages = (
+        ("pyramid", "detect", "full") if use_pallas
+        else ("pyramid", "detect", "orient", "full")
+    )
     times = {}
-    for stage in ("pyramid", "detect", "orient", "full"):
+    for stage in stages:
         key = {"full": "end_to_end_ms"}.get(stage, f"upto_{stage}_ms")
         times[key] = round(
             chained_ms(upto(stage), img, n_hi=n_hi, reps=reps), 3
