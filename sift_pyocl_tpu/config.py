@@ -56,6 +56,9 @@ class SiftConfig:
                                         # "pallas" | "xla" | "auto"
     pallas_interpret: bool = False      # run Pallas kernels in interpret mode
                                         # (CPU parity tests of the TPU path)
+    kp_multi_launch: bool = True        # batch compact + orient/desc kernels
+                                        # across octaves (fewer launches);
+                                        # False = per-octave launches
 
     # --- derived helpers (pure functions of config + image shape) ---
 

@@ -96,31 +96,22 @@ def describe_octaves(octaves, shape: Tuple[int, int],
 
     Split out of `detect_and_describe` so the pyramid stage and this stage
     can run on DIFFERENT devices (parallel/pipeline_octaves.py — PP)."""
-    from ..ops.detect import detect_octave_pallas
-    from ..ops.orient_desc import orient_and_describe_fused_pallas
-    from ..ops.pallas.window import pad_grad_planes
-
     use_pallas = _resolve_kp_backend(cfg) == "pallas"
     caps = octave_capacities(shape, cfg)
+    if use_pallas and cfg.kp_multi_launch:
+        return _describe_octaves_pallas(octaves, caps, cfg)
+    if use_pallas:
+        return _describe_octaves_pallas_per_octave(octaves, caps, cfg)
+
     xs, ys, scales_, angles, descs, valids, counts = [], [], [], [], [], [], []
     octsize = 0.5 if cfg.double_im_size else 1.0
     for o, (blurs, dogs) in enumerate(octaves):
         cap, dcap = caps[o]
         mags, oris = gradient_planes(blurs, cfg)
-        if use_pallas:
-            kps, _raw_extrema = detect_octave_pallas(
-                dogs, cfg, o, cap, interpret=cfg.pallas_interpret
-            )
-            extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
-            mag_p, ori_p = pad_grad_planes(mags, oris)
-            okps, desc = orient_and_describe_fused_pallas(
-                mag_p, ori_p, kps, cfg, interpret=cfg.pallas_interpret
-            )
-        else:
-            kps = detect_octave(dogs, cfg, o, cap)
-            extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
-            okps = assign_orientations(mags, oris, kps, cfg, dcap)
-            desc = compute_descriptors(mags, oris, okps, cfg)
+        kps = detect_octave(dogs, cfg, o, cap)
+        extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
+        okps = assign_orientations(mags, oris, kps, cfg, dcap)
+        desc = compute_descriptors(mags, oris, okps, cfg)
         sigma_oct = cfg.init_sigma * 2.0 ** (okps.fs / cfg.scales)
         xs.append(okps.fc * octsize)
         ys.append(okps.fr * octsize)
@@ -137,6 +128,114 @@ def describe_octaves(octaves, shape: Tuple[int, int],
         angle=jnp.concatenate(angles),
         desc=jnp.concatenate(descs),
         valid=jnp.concatenate(valids),
+        counts=jnp.stack(counts),
+    )
+
+
+def _describe_octaves_pallas_per_octave(octaves, caps,
+                                        cfg: SiftConfig) -> KeypointBuffer:
+    """Per-octave launch variant (cfg.kp_multi_launch=False): one detect and
+    one fused orientation+descriptor launch per octave."""
+    from ..ops.detect import detect_octave_pallas
+    from ..ops.orient_desc import orient_and_describe_fused_pallas
+    from ..ops.pallas.window import pad_grad_planes
+
+    xs, ys, scales_, angles, descs, valids, counts = [], [], [], [], [], [], []
+    octsize = 0.5 if cfg.double_im_size else 1.0
+    for o, (blurs, dogs) in enumerate(octaves):
+        cap, dcap = caps[o]
+        mags, oris = gradient_planes(blurs, cfg)
+        kps, _raw = detect_octave_pallas(
+            dogs, cfg, o, cap, interpret=cfg.pallas_interpret
+        )
+        extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
+        mag_p, ori_p = pad_grad_planes(mags, oris)
+        okps, desc = orient_and_describe_fused_pallas(
+            mag_p, ori_p, kps, cfg, interpret=cfg.pallas_interpret
+        )
+        sigma_oct = cfg.init_sigma * 2.0 ** (okps.fs / cfg.scales)
+        xs.append(okps.fc * octsize)
+        ys.append(okps.fr * octsize)
+        scales_.append(sigma_oct * octsize)
+        angles.append(okps.angle)
+        descs.append(desc)
+        valids.append(okps.valid)
+        counts.append(jnp.stack([extrema_count, okps.count]))
+        octsize *= 2.0
+    return KeypointBuffer(
+        x=jnp.concatenate(xs),
+        y=jnp.concatenate(ys),
+        scale=jnp.concatenate(scales_),
+        angle=jnp.concatenate(angles),
+        desc=jnp.concatenate(descs),
+        valid=jnp.concatenate(valids),
+        counts=jnp.stack(counts),
+    )
+
+
+def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
+                             max_ori: int = 2) -> KeypointBuffer:
+    """Pallas production path: THREE kernel launches total for all octaves
+    (multi-octave compact, multi-octave refine, multi-octave fused
+    orientation+descriptor) — per-octave launches cost ~0.13 ms each of
+    pure overhead on this platform (round-2 measurement)."""
+    from ..ops.detect import detect_all_octaves_pallas
+    from ..ops.orient_desc import _desc_window_size, quantize_descriptors
+    from ..ops.pallas.window import orient_desc_fused_multi_pallas, pad_grad_planes
+
+    interp = cfg.pallas_interpret
+    detected = detect_all_octaves_pallas(
+        [dogs for _, dogs in octaves], cfg, [c for c, _ in caps],
+        interpret=interp,
+    )
+    mag_l, ori_l = [], []
+    for blurs, _ in octaves:
+        mags, oris = gradient_planes(blurs, cfg)
+        mp, op = pad_grad_planes(mags, oris)
+        mag_l.append(mp)
+        ori_l.append(op)
+
+    kps_l = [d[0] for d in detected]
+    s_cat = jnp.concatenate([k.s_int for k in kps_l])
+    fs_cat = jnp.concatenate([k.fs for k in kps_l])
+    fr_cat = jnp.concatenate([k.fr for k in kps_l])
+    fc_cat = jnp.concatenate([k.fc for k in kps_l])
+    valid_cat = jnp.concatenate([k.valid for k in kps_l])
+    oct_cat = jnp.concatenate([
+        jnp.full((caps[o][0],), o, jnp.int32) for o in range(len(octaves))
+    ])
+    sigma_cat = cfg.init_sigma * 2.0 ** (fs_cat / cfg.scales)
+    win = _desc_window_size(cfg)
+    ang, ok, raw = orient_desc_fused_multi_pallas(
+        mag_l, ori_l, s_cat, fr_cat, fc_cat, sigma_cat, valid_cat, oct_cat,
+        win=win, max_ori=max_ori, interpret=interp,
+    )
+    desc = quantize_descriptors(raw.reshape(-1, 128))
+
+    def rep(x):
+        return jnp.repeat(x, max_ori, axis=0)   # slot i*max_ori + o
+
+    base = 0.5 if cfg.double_im_size else 1.0
+    octsize_cat = jnp.concatenate([
+        jnp.full((caps[o][0],), base * 2.0 ** o, jnp.float32)
+        for o in range(len(octaves))
+    ])
+    counts = []
+    off = 0
+    for o in range(len(octaves)):
+        cap = caps[o][0]
+        counts.append(jnp.stack([
+            jnp.sum(kps_l[o].valid.astype(jnp.int32)),
+            jnp.sum(ok[off : off + cap].astype(jnp.int32)),
+        ]))
+        off += cap
+    return KeypointBuffer(
+        x=rep(fc_cat * octsize_cat),
+        y=rep(fr_cat * octsize_cat),
+        scale=rep(sigma_cat * octsize_cat),
+        angle=ang.reshape(-1),
+        desc=desc,
+        valid=ok.reshape(-1),
         counts=jnp.stack(counts),
     )
 

@@ -236,3 +236,4 @@ def refine_pallas(
     )(s.astype(jnp.int32), r.astype(jnp.int32), c.astype(jnp.int32),
       valid.astype(jnp.int32), dogs_padded)
     return outs
+

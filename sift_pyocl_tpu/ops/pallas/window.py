@@ -609,3 +609,260 @@ def orient_desc_fused_pallas(
     angles = aux[:, :max_ori]
     ok = aux[:, 8 : 8 + max_ori] > 0.5
     return angles, ok, desc.reshape(cap, max_ori, 128)
+
+
+# ---------------------------------------------------------------------------
+# Multi-octave fused kernel: ONE launch for every octave's orientation +
+# descriptor work (slot octave ids select the gradient-plane refs under
+# predication, like ops.pallas.refine.refine_multi_pallas).
+# ---------------------------------------------------------------------------
+
+
+def _fused_multi_kernel(s_ref, rs_ref, cs_ref, valid_ref, oct_ref, fr_ref,
+                        fc_ref, sig_ref, C_ref, *refs,
+                        n_oct, win, rows_f, max_ori):
+    mag_refs = refs[:n_oct]
+    ori_refs = refs[n_oct : 2 * n_oct]
+    aux_ref, desc_ref = refs[2 * n_oct : 2 * n_oct + 2]
+    magw, oriw, sems = refs[2 * n_oct + 2 :]
+    i = pl.program_id(0)
+    DW = max_ori * 128
+
+    for j in range(KP_BLOCK):
+        k = i * KP_BLOCK + j
+
+        @pl.when(valid_ref[k] > 0)
+        def _(j=j, k=k):
+            for oo in range(n_oct):
+
+                @pl.when(oct_ref[k] == oo)
+                def _(j=j, k=k, oo=oo):
+                    _window_copy(mag_refs[oo], s_ref[k], rs_ref[k] + PAD_R,
+                                 cs_ref[k] + PAD_C, rows_f, magw.at[j],
+                                 sems.at[j, 0]).start()
+                    _window_copy(ori_refs[oo], s_ref[k], rs_ref[k] + PAD_R,
+                                 cs_ref[k] + PAD_C, rows_f, oriw.at[j],
+                                 sems.at[j, 1]).start()
+
+    def body(j, acc):
+        k = i * KP_BLOCK + j
+
+        def compute(acc):
+            aux_acc, desc_acc = acc
+            rs = rs_ref[k] + PAD_R
+            cs = cs_ref[k] + PAD_C
+            for oo in range(n_oct):
+
+                @pl.when(oct_ref[k] == oo)
+                def _(j=j, k=k, oo=oo):
+                    _window_copy(mag_refs[oo], s_ref[k], rs, cs, rows_f,
+                                 magw.at[j], sems.at[j, 0]).wait()
+                    _window_copy(ori_refs[oo], s_ref[k], rs, cs, rows_f,
+                                 oriw.at[j], sems.at[j, 1]).wait()
+            mw = _align_window(magw[j], rs, cs, win)
+            ow = _align_window(oriw[j], rs, cs, win)
+            fr = fr_ref[k]
+            fc = fc_ref[k]
+            sig = sig_ref[k]
+            rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
+                jnp.float32) + (rs_ref[k].astype(jnp.float32) - fr)
+            cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
+                jnp.float32) + (cs_ref[k].astype(jnp.float32) - fc)
+            lane_ok = lax.broadcasted_iota(jnp.int32, (win, 128), 1) < win
+
+            d2 = rr * rr + cc * cc
+            sig_w = 1.5 * sig
+            radius = jnp.floor(3.0 * sig_w)
+            inside_o = (d2 < radius * radius + 0.5) & lane_ok
+            wgt = jnp.exp(-d2 / (2.0 * sig_w * sig_w)) * mw * inside_o
+            b = jnp.floor(
+                N_ORI_BINS * (ow + np.float32(np.pi)) / np.float32(2 * np.pi)
+            ).astype(jnp.int32)
+            b = jnp.clip(b, 0, N_ORI_BINS - 1)
+            hvals = [(kk, jnp.sum(jnp.where(b == kk, wgt, 0.0)))
+                     for kk in range(N_ORI_BINS)]
+            hrow = _scalar_row(hvals, 128)
+
+            hs = jnp.dot(hrow, C_ref[0], preferred_element_type=jnp.float32)
+            left = jnp.dot(hs, C_ref[1], preferred_element_type=jnp.float32)
+            right = jnp.dot(hs, C_ref[2], preferred_element_type=jnp.float32)
+            lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            vlane = lane < N_ORI_BINS
+            ninf = jnp.float32(-jnp.inf)
+            hmax = jnp.max(jnp.where(vlane, hs, ninf))
+            is_peak = (
+                (hs >= 0.8 * hmax) & (hs > left) & (hs > right)
+                & (hmax > 0) & vlane
+            )
+            score = jnp.where(is_peak, hs, ninf)
+            angs, oks = [], []
+            for _o in range(max_ori):
+                m = jnp.max(score)
+                bsel = jnp.min(jnp.where(score == m, lane, 999))
+                okk = jnp.isfinite(m)
+                l = _lane_scalar(left, bsel)
+                rg = _lane_scalar(right, bsel)
+                h = _lane_scalar(hs, bsel)
+                denom = l - 2.0 * h + rg
+                off = jnp.where(
+                    denom != 0.0,
+                    0.5 * (l - rg) / jnp.where(denom != 0.0, denom, 1.0),
+                    0.0,
+                )
+                ang = (
+                    np.float32(2 * np.pi)
+                    * (bsel.astype(jnp.float32) + 0.5 + off)
+                    / N_ORI_BINS
+                    - np.float32(np.pi)
+                )
+                ang = jnp.where(ang > np.float32(np.pi),
+                                ang - np.float32(2 * np.pi), ang)
+                ang = jnp.where(ang <= np.float32(-np.pi),
+                                ang + np.float32(2 * np.pi), ang)
+                angs.append(ang)
+                oks.append(okk)
+                score = jnp.where(lane == bsel, ninf, score)
+
+            spacing_base = np.float32(MAG_FACTOR) * sig
+            drow = jnp.zeros((1, DW), jnp.float32)
+            for o in range(max_ori):
+
+                def desc_one(drow, angle=None, o=o):
+                    cos_t = jnp.cos(angle)
+                    sin_t = jnp.sin(angle)
+                    rrot = (cos_t * rr + sin_t * cc) / spacing_base
+                    crot = (-sin_t * rr + cos_t * cc) / spacing_base
+                    rbin = rrot + np.float32(DESC_GRID / 2.0 - 0.5)
+                    cbin = crot + np.float32(DESC_GRID / 2.0 - 0.5)
+                    inside = (
+                        (rbin > -1.0) & (rbin < DESC_GRID)
+                        & (cbin > -1.0) & (cbin < DESC_GRID)
+                        & lane_ok
+                    )
+                    gw = jnp.exp(
+                        -(rrot * rrot + crot * crot)
+                        / np.float32(2.0 * (0.5 * DESC_GRID) ** 2)
+                    )
+                    mm = gw * mw * inside
+                    obin = (ow - angle) * np.float32(DESC_ORI / (2 * np.pi))
+                    obin = obin - jnp.floor(obin / DESC_ORI) * DESC_ORI
+                    Cs = []
+                    for oo2 in range(DESC_ORI):
+                        do = jnp.abs(obin - oo2)
+                        do = jnp.minimum(do, DESC_ORI - do)
+                        Cs.append(mm * jnp.maximum(0.0, 1.0 - do))
+                    vals = []
+                    for ri in range(DESC_GRID):
+                        wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - ri))
+                        for cj in range(DESC_GRID):
+                            wrc = wr * jnp.maximum(
+                                0.0, 1.0 - jnp.abs(cbin - cj)
+                            )
+                            for oo2 in range(DESC_ORI):
+                                idx = (
+                                    o * 128
+                                    + (ri * DESC_GRID + cj) * DESC_ORI + oo2
+                                )
+                                vals.append((idx, jnp.sum(wrc * Cs[oo2])))
+                    return drow + _scalar_row(vals, DW)
+
+                drow = lax.cond(
+                    oks[o],
+                    functools.partial(desc_one, angle=angs[o]),
+                    lambda d: d,
+                    drow,
+                )
+
+            aux_vals = [(o, angs[o]) for o in range(max_ori)]
+            aux_vals += [
+                (8 + o, oks[o].astype(jnp.float32)) for o in range(max_ori)
+            ]
+            aux_acc = _select_row(aux_acc, j, _scalar_row(aux_vals, 128))
+            desc_acc = _select_row(desc_acc, j, drow)
+            return (aux_acc, desc_acc)
+
+        return lax.cond(valid_ref[k] > 0, compute, lambda a: a, acc)
+
+    aux0 = jnp.zeros((KP_BLOCK, 128), jnp.float32)
+    desc0 = jnp.zeros((KP_BLOCK, DW), jnp.float32)
+    aux, desc = lax.fori_loop(0, KP_BLOCK, body, (aux0, desc0))
+    aux_ref[:] = aux
+    desc_ref[:] = desc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win", "max_ori", "interpret")
+)
+def orient_desc_fused_multi_pallas(
+    mag_list,
+    ori_list,
+    s_int: jnp.ndarray,
+    fr: jnp.ndarray,
+    fc: jnp.ndarray,
+    sigma: jnp.ndarray,
+    valid: jnp.ndarray,
+    oct_id: jnp.ndarray,
+    win: int,
+    max_ori: int = 2,
+    interpret: bool = False,
+):
+    """Fused orientation + descriptors for ALL octaves in one launch.
+
+    mag_list/ori_list: per-octave pad_grad_planes outputs; oct_id selects
+    the refs per slot.  Same returns as orient_desc_fused_pallas."""
+    cap = s_int.shape[0]
+    n_oct = len(mag_list)
+    assert cap % KP_BLOCK == 0 and win <= 128
+    rows_f = win + 8
+    half = win // 2
+    r0 = jnp.round(fr).astype(jnp.int32)
+    c0 = jnp.round(fc).astype(jnp.int32)
+    DW = max_ori * 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(cap // KP_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((3, 128, 128), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(2 * n_oct)
+        ],
+        out_specs=(
+            pl.BlockSpec((KP_BLOCK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KP_BLOCK, DW), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KP_BLOCK, rows_f, 256), jnp.float32),
+            pltpu.VMEM((KP_BLOCK, rows_f, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((KP_BLOCK, 2)),
+        ],
+    )
+    aux, desc = pl.pallas_call(
+        functools.partial(
+            _fused_multi_kernel, n_oct=n_oct, win=win, rows_f=rows_f,
+            max_ori=max_ori,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((cap, 128), jnp.float32),
+            jax.ShapeDtypeStruct((cap, DW), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        (s_int - 1).astype(jnp.int32),
+        (r0 - half).astype(jnp.int32),
+        (c0 - half).astype(jnp.int32),
+        valid.astype(jnp.int32),
+        oct_id.astype(jnp.int32),
+        fr.astype(jnp.float32),
+        fc.astype(jnp.float32),
+        sigma.astype(jnp.float32),
+        jnp.asarray(_ori_tail_constants(max_ori)),
+        *mag_list,
+        *ori_list,
+    )
+    angles = aux[:, :max_ori]
+    ok = aux[:, 8 : 8 + max_ori] > 0.5
+    return angles, ok, desc.reshape(cap, max_ori, 128)

@@ -25,12 +25,8 @@ def stage_times(plan, image=None, n_hi: int = 9, reps: int = 2) -> Dict[str, flo
     kernel since round 2) = end_to_end.  XLA path keeps the split
     orient / descriptor rows."""
     from ..models.sift import octave_capacities, _resolve_kp_backend
-    from ..ops.detect import detect_octave, detect_octave_pallas
-    from ..ops.orient_desc import (
-        assign_orientations, compute_descriptors, gradient_planes,
-        orient_and_describe_fused_pallas,
-    )
-    from ..ops.pallas.window import pad_grad_planes
+    from ..ops.detect import detect_octave
+    from ..ops.orient_desc import assign_orientations, gradient_planes
     from ..ops.pyramid import build_scale_space_jax
 
     cfg = plan.cfg
@@ -43,34 +39,34 @@ def stage_times(plan, image=None, n_hi: int = 9, reps: int = 2) -> Dict[str, flo
 
     def upto(stage):
         def f(c):
+            from ..models.sift import describe_octaves
+
             octs = build_scale_space_jax(c, cfg)
             acc = [b.sum() + d.sum() for b, d in octs]
             if stage == "pyramid":
                 return {"s": acc}
+            if stage == "full":
+                # the production path verbatim (3-launch pallas or XLA)
+                b = describe_octaves(octs, plan.shape, cfg)
+                acc += [b.x.sum(), b.angle.sum(),
+                        b.desc.astype(jnp.float32).sum(), b.valid.sum()]
+                return {"s": acc}
+            if use_pallas:
+                from ..ops.detect import detect_all_octaves_pallas
+
+                det = detect_all_octaves_pallas(
+                    [d for _, d in octs], cfg, [cp for cp, _ in caps]
+                )
+                acc += [k.fr.sum() + k.valid.sum() for k, _ in det]
+                return {"s": acc}
             for o, (blurs, dogs) in enumerate(octs):
-                if use_pallas:
-                    kps, _ = detect_octave_pallas(dogs, cfg, o, caps[o][0])
-                else:
-                    kps = detect_octave(dogs, cfg, o, caps[o][0])
+                kps = detect_octave(dogs, cfg, o, caps[o][0])
                 acc.append(kps.fr.sum() + kps.valid.sum())
                 if stage == "detect":
                     continue
                 mags, oris = gradient_planes(blurs, cfg)
-                if use_pallas:
-                    mp, op = pad_grad_planes(mags, oris)
-                    okps, desc = orient_and_describe_fused_pallas(
-                        mp, op, kps, cfg
-                    )
-                    acc.append(
-                        okps.angle.sum() + desc.astype(jnp.float32).sum()
-                    )
-                else:
-                    okps = assign_orientations(mags, oris, kps, cfg, caps[o][1])
-                    acc.append(okps.angle.sum() + okps.valid.sum())
-                    if stage == "orient":
-                        continue
-                    desc = compute_descriptors(mags, oris, okps, cfg)
-                    acc.append(desc.astype(jnp.float32).sum())
+                okps = assign_orientations(mags, oris, kps, cfg, caps[o][1])
+                acc.append(okps.angle.sum() + okps.valid.sum())
             return {"s": acc}
 
         return f

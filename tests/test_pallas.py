@@ -244,3 +244,31 @@ def test_fused_orient_desc_pallas_interpret_matches_xla(scene128, small_cfg):
     np.testing.assert_allclose(rf, rx, atol=1e-4)
     diff = np.abs(descx.astype(int) - descf.astype(int))
     assert diff.max() <= 1 and diff.mean() < 0.01
+
+
+def test_kp_multi_launch_variants_agree(scene160):
+    """Both pallas launch strategies (batched multi-octave kernels vs
+    per-octave launches) must produce identical keypoint sets."""
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import detect_and_describe
+    from sift_pyocl_tpu.oracle import KP_DTYPE
+
+    from conftest import match_keypoint_sets
+
+    def run(multi):
+        cfg = SiftConfig(kp_per_octave_cap=256, kp_backend="pallas",
+                         conv_backend="xla", pallas_interpret=True,
+                         kp_multi_launch=multi)
+        buf = detect_and_describe(jnp.asarray(scene160), cfg)
+        m = np.asarray(buf.valid)
+        out = np.zeros(int(m.sum()), dtype=KP_DTYPE)
+        for f in ("x", "y", "scale", "angle", "desc"):
+            out[f] = np.asarray(getattr(buf, f))[m]
+        return out
+
+    a = run(True)
+    b = run(False)
+    assert len(a) == len(b) > 10
+    hits, desc_l1 = match_keypoint_sets(a, b)
+    assert hits == len(a)
+    assert desc_l1 == 0.0
