@@ -30,11 +30,17 @@ import numpy as np
 
 from .sfm.evaluate import ate_rmse, camera_centers
 
-FRAME_SUFFIXES = (".pgm", ".ppm", ".f32")
+FRAME_SUFFIXES = (".pgm", ".ppm", ".f32", ".png", ".jpg", ".jpeg")
 
 
 def probe_pgm_shape(path: Path) -> Tuple[int, int]:
-    """(H, W) from a PGM/PPM header."""
+    """(H, W) from a PGM/PPM header (or any PIL-readable image)."""
+    if path.suffix.lower() not in (".pgm", ".ppm"):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            w, h = im.size
+        return h, w
     data = path.read_bytes()[:256]
     if not data.startswith((b"P5", b"P6")):
         raise ValueError(f"{path}: cannot probe shape (not PGM/PPM)")

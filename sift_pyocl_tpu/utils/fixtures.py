@@ -44,7 +44,8 @@ def _load(path: Path) -> np.ndarray:
                 [0.299, 0.587, 0.114], np.float32
             )
         return arr.astype(np.float32)
-    if path.suffix in (".pgm", ".ppm"):
+    if path.suffix.lower() in (".pgm", ".ppm", ".png", ".jpg", ".jpeg",
+                               ".tif", ".tiff", ".bmp"):
         from ..evaluate import probe_pgm_shape
         from .framesource import _decode_numpy
 
@@ -62,7 +63,8 @@ def reference_test_image(name: str) -> Optional[np.ndarray]:
     >>> img = reference_test_image("lena")   # looks for lena.{pgm,ppm,npy,f32}
     """
     for d in fixture_dirs():
-        for suffix in (".pgm", ".ppm", ".npy", ".f32"):
+        for suffix in (".pgm", ".ppm", ".png", ".jpg", ".jpeg", ".npy",
+                       ".f32"):
             p = d / f"{name}{suffix}"
             if p.is_file():
                 return _load(p)

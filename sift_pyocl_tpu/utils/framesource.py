@@ -16,10 +16,21 @@ from typing import Iterator, List, Sequence, Tuple, Union
 import numpy as np
 
 
+PIL_SUFFIXES = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
+
+
 def _decode_numpy(path: Path, shape: Tuple[int, int]) -> np.ndarray:
     H, W = shape
     if path.suffix == ".f32":
         return np.fromfile(path, dtype=np.float32, count=H * W).reshape(H, W)
+    if path.suffix.lower() in PIL_SUFFIXES:
+        # real benchmark sequences (TUM/KITTI) ship PNGs; PIL is optional
+        from PIL import Image
+
+        img = np.asarray(Image.open(path).convert("L"), dtype=np.float32)
+        if img.shape != (H, W):
+            raise ValueError(f"{path}: {img.shape} != expected {(H, W)}")
+        return img
     data = path.read_bytes()
     if not data.startswith((b"P5", b"P6")):
         raise ValueError(f"unsupported format: {path}")
@@ -69,6 +80,9 @@ class FrameSource:
 
         self.paths = [str(p) for p in paths]
         self.shape = tuple(shape)
+        # the C++ loader decodes PGM/PPM/.f32; PNG/JPEG routes through PIL
+        if any(Path(p).suffix.lower() in PIL_SUFFIXES for p in self.paths):
+            native = False
         self._lib = get_lib() if native else None
         self.backend = "native" if self._lib is not None else "numpy"
 

@@ -72,3 +72,26 @@ def test_native_matches_numpy(frames_dir):
     ref = [f for _, f in FrameSource(paths, shape, native=False)]
     for (_, g), w in zip(nat, ref):
         np.testing.assert_allclose(g, w, atol=5e-3)
+
+
+def test_png_frames_via_pil(tmp_path):
+    """PNG sequences (the format real TUM/KITTI data ships in) decode
+    through the PIL fallback path."""
+    PIL = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    from sift_pyocl_tpu.utils.framesource import FrameSource
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (32, 40)).astype("uint8") for _ in range(3)]
+    paths = []
+    for i, im in enumerate(imgs):
+        p = tmp_path / f"f{i:03d}.png"
+        PIL.fromarray(im, mode="L").save(p)
+        paths.append(p)
+    fs = FrameSource(paths, (32, 40))
+    assert fs.backend == "numpy"
+    out = list(fs)
+    assert len(out) == 3
+    for (idx, frame), im in zip(out, imgs):
+        np.testing.assert_allclose(frame, im.astype(np.float32))
