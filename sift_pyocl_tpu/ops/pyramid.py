@@ -215,9 +215,28 @@ def build_scale_space_jax(
     backend = cfg.conv_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    base = prepare_input_jax(img, cfg)
     n_oct = cfg.n_octaves(img.shape[:2])
-    blurs0, dogs0 = build_octave_jax(base, cfg)
+    if backend == "pallas" and cfg.init_sigma > cfg.orig_sigma * (
+        2.0 if cfg.double_im_size else 1.0
+    ):
+        # octave 0 (too big for whole-plane VMEM) in ONE strip-ladder launch:
+        # pre-blur + all levels + DoGs fused (ops/pallas/ladder0.py)
+        from .pallas.ladder0 import octave0_ladder
+
+        data = normalize_image_jax(img)
+        cur_sigma = cfg.orig_sigma
+        if cfg.double_im_size:
+            data = upscale2_jax(data)
+            cur_sigma *= 2.0
+        blurs0, dogs0 = octave0_ladder(
+            data,
+            float(np.sqrt(cfg.init_sigma**2 - cur_sigma**2)),
+            cfg.sigma_increments(),
+            interpret=cfg.pallas_interpret,
+        )
+    else:
+        base = prepare_input_jax(img, cfg)
+        blurs0, dogs0 = build_octave_jax(base, cfg)
     octaves = [(blurs0, dogs0)]
     if n_oct > 1:
         if backend == "pallas":
