@@ -155,7 +155,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not paths:
         print(json.dumps({"error": f"no frames in {frame_dir}"}))
         return 1
-    shape = tuple(args.shape) if args.shape else probe_pgm_shape(paths[0])
+    if args.shape:
+        shape = tuple(args.shape)
+    elif paths[0].suffix == ".f32":
+        print(json.dumps({"error": "raw .f32 frames need --shape H W"}))
+        return 1
+    else:
+        shape = probe_pgm_shape(paths[0])
     fx = args.fx if args.fx else float(max(shape))
     cx = args.cx if args.cx is not None else shape[1] / 2
     cy = args.cy if args.cy is not None else shape[0] / 2

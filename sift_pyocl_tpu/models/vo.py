@@ -206,8 +206,11 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     obs_pt_old = jnp.maximum(obs_pt_shift, 0)
 
     # 4b. new observation block: best OBS_F matched keypoints of this frame
+    # (keep_pnp, not strict keep: on a loose re-localization frame the
+    # accepted matches must feed BA too, else the frame contributes ~zero
+    # observations exactly when tracking is most fragile)
     _, osel = lax.approx_max_k(score, OBS_F)
-    ow = keep[osel].astype(jnp.float32)
+    ow = keep_pnp[osel].astype(jnp.float32)
     ouv = kp_uv[osel]
     opt = jnp.maximum(map_id[osel] - PN, 0)
     ow = ow * (map_id[osel] - PN >= 0)
@@ -223,9 +226,11 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     depths = jnp.where(w_sel > 0, Xc_sel[:, 2], jnp.nan)
     med_depth = jnp.nan_to_num(jnp.nanmedian(depths), nan=5.0)
     med_depth = jnp.clip(med_depth, 0.5, 100.0)
-    new_score = jnp.where(buf.valid & ~keep, buf.scale, -jnp.inf)
+    # spawn from keypoints unmatched under keep_pnp: loose-gate matches on a
+    # re-localization frame are map RE-observations, not new landmarks
+    new_score = jnp.where(buf.valid & ~keep_pnp, buf.scale, -jnp.inf)
     _, nsel = lax.approx_max_k(new_score, PN)
-    nok = (buf.valid & ~keep)[nsel].astype(jnp.float32)
+    nok = (buf.valid & ~keep_pnp)[nsel].astype(jnp.float32)
     nuv = kp_uv[nsel]
     Xbp = _backproject(K, R_new, t_new, nuv, jnp.full((PN,), med_depth))
     pk, pidx, _pd, _pd2 = match_descriptors_dense(

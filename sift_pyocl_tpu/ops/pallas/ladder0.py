@@ -162,6 +162,19 @@ def _run(base_pad, cfg_key, interpret):
     return outs
 
 
+def octave0_ladder_supported(pre_sigma: float,
+                             increments: Sequence[float]) -> bool:
+    """True iff the strip geometry covers these sigmas (max tap half-width
+    within the row margin, cumulative support within the column margin).
+    Callers route unsupported configs (large init_sigma) to the per-level
+    conv path, which pads for any sigma."""
+    from .conv import blur_taps
+
+    halves = [(len(blur_taps(s)) - 1) // 2
+              for s in [pre_sigma] + list(increments)]
+    return max(halves) <= MR and sum(halves) <= SM
+
+
 def octave0_ladder(
     normalized: jnp.ndarray,
     pre_sigma: float,

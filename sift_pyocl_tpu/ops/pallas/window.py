@@ -380,6 +380,126 @@ def _lane_scalar(row, idx, width=128):
     return jnp.sum(jnp.where(lane == idx, row, 0.0))
 
 
+def _kp_orient_desc(mw, ow, rs_k, cs_k, fr, fc, sig, C_ref, *, win, max_ori):
+    """Shared per-keypoint compute of the fused kernels: orientation
+    histogram over the window, in-kernel smoothing/peak/parabolic tail
+    (circulant matmuls against C_ref), and one descriptor per accepted
+    orientation.  Returns (aux_row (1,128): lanes [0,max_ori) angles,
+    [8,8+max_ori) ok flags; drow (1, max_ori*128) raw descriptor)."""
+    DW = max_ori * 128
+    rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
+        jnp.float32) + (rs_k.astype(jnp.float32) - fr)
+    cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
+        jnp.float32) + (cs_k.astype(jnp.float32) - fc)
+    lane_ok = lax.broadcasted_iota(jnp.int32, (win, 128), 1) < win
+
+    d2 = rr * rr + cc * cc
+    sig_w = 1.5 * sig
+    radius = jnp.floor(3.0 * sig_w)
+    inside_o = (d2 < radius * radius + 0.5) & lane_ok
+    wgt = jnp.exp(-d2 / (2.0 * sig_w * sig_w)) * mw * inside_o
+    b = jnp.floor(
+        N_ORI_BINS * (ow + np.float32(np.pi)) / np.float32(2 * np.pi)
+    ).astype(jnp.int32)
+    b = jnp.clip(b, 0, N_ORI_BINS - 1)
+    hvals = [(kk, jnp.sum(jnp.where(b == kk, wgt, 0.0)))
+             for kk in range(N_ORI_BINS)]
+    hrow = _scalar_row(hvals, 128)
+
+    hs = jnp.dot(hrow, C_ref[0], preferred_element_type=jnp.float32)
+    left = jnp.dot(hs, C_ref[1], preferred_element_type=jnp.float32)
+    right = jnp.dot(hs, C_ref[2], preferred_element_type=jnp.float32)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    vlane = lane < N_ORI_BINS
+    ninf = jnp.float32(-jnp.inf)
+    hmax = jnp.max(jnp.where(vlane, hs, ninf))
+    is_peak = (
+        (hs >= 0.8 * hmax) & (hs > left) & (hs > right)
+        & (hmax > 0) & vlane
+    )
+    score = jnp.where(is_peak, hs, ninf)
+    angs, oks = [], []
+    for _o in range(max_ori):
+        m = jnp.max(score)
+        bsel = jnp.min(jnp.where(score == m, lane, 999))  # tie: min index
+        okk = jnp.isfinite(m)
+        l = _lane_scalar(left, bsel)
+        rg = _lane_scalar(right, bsel)
+        h = _lane_scalar(hs, bsel)
+        denom = l - 2.0 * h + rg
+        off = jnp.where(
+            denom != 0.0,
+            0.5 * (l - rg) / jnp.where(denom != 0.0, denom, 1.0),
+            0.0,
+        )
+        ang = (
+            np.float32(2 * np.pi)
+            * (bsel.astype(jnp.float32) + 0.5 + off)
+            / N_ORI_BINS
+            - np.float32(np.pi)
+        )
+        ang = jnp.where(ang > np.float32(np.pi),
+                        ang - np.float32(2 * np.pi), ang)
+        ang = jnp.where(ang <= np.float32(-np.pi),
+                        ang + np.float32(2 * np.pi), ang)
+        angs.append(ang)
+        oks.append(okk)
+        score = jnp.where(lane == bsel, ninf, score)
+
+    spacing_base = np.float32(MAG_FACTOR) * sig
+    drow = jnp.zeros((1, DW), jnp.float32)
+    for o in range(max_ori):
+
+        def desc_one(drow, angle=None, o=o):
+            cos_t = jnp.cos(angle)
+            sin_t = jnp.sin(angle)
+            rrot = (cos_t * rr + sin_t * cc) / spacing_base
+            crot = (-sin_t * rr + cos_t * cc) / spacing_base
+            rbin = rrot + np.float32(DESC_GRID / 2.0 - 0.5)
+            cbin = crot + np.float32(DESC_GRID / 2.0 - 0.5)
+            inside = (
+                (rbin > -1.0) & (rbin < DESC_GRID)
+                & (cbin > -1.0) & (cbin < DESC_GRID)
+                & lane_ok
+            )
+            gw = jnp.exp(
+                -(rrot * rrot + crot * crot)
+                / np.float32(2.0 * (0.5 * DESC_GRID) ** 2)
+            )
+            mm = gw * mw * inside
+            obin = (ow - angle) * np.float32(DESC_ORI / (2 * np.pi))
+            obin = obin - jnp.floor(obin / DESC_ORI) * DESC_ORI
+            Cs = []
+            for oo in range(DESC_ORI):
+                do = jnp.abs(obin - oo)
+                do = jnp.minimum(do, DESC_ORI - do)
+                Cs.append(mm * jnp.maximum(0.0, 1.0 - do))
+            vals = []
+            for ri in range(DESC_GRID):
+                wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - ri))
+                for cj in range(DESC_GRID):
+                    wrc = wr * jnp.maximum(0.0, 1.0 - jnp.abs(cbin - cj))
+                    for oo in range(DESC_ORI):
+                        idx = (
+                            o * 128
+                            + (ri * DESC_GRID + cj) * DESC_ORI + oo
+                        )
+                        vals.append((idx, jnp.sum(wrc * Cs[oo])))
+            return drow + _scalar_row(vals, DW)
+
+        drow = lax.cond(
+            oks[o],
+            functools.partial(desc_one, angle=angs[o]),
+            lambda d: d,
+            drow,
+        )
+
+    aux_vals = [(o, angs[o]) for o in range(max_ori)]
+    aux_vals += [(8 + o, oks[o].astype(jnp.float32)) for o in range(max_ori)]
+    return _scalar_row(aux_vals, 128), drow
+
+
+
 def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fr_ref, fc_ref, sig_ref,
                   C_ref, mag_hbm, ori_hbm, aux_ref, desc_ref,
                   magw, oriw, sems, *, win: int, rows_f: int, max_ori: int):
@@ -395,132 +515,11 @@ def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fr_ref, fc_ref, sig_ref,
             aux_acc, desc_acc = acc
             mw, ow = _wait_windows(s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm,
                                    magw, oriw, sems, j, k, rows_f, win)
-            fr = fr_ref[k]
-            fc = fc_ref[k]
-            sig = sig_ref[k]
-            rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
-                jnp.float32) + (rs_ref[k].astype(jnp.float32) - fr)
-            cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
-                jnp.float32) + (cs_ref[k].astype(jnp.float32) - fc)
-            lane_ok = lax.broadcasted_iota(jnp.int32, (win, 128), 1) < win
-
-            # --- orientation histogram over the (desc-sized) window: the
-            # radius mask bounds the support exactly as the XLA path's
-            # smaller gather window does (desc window covers the radius) ---
-            d2 = rr * rr + cc * cc
-            sig_w = 1.5 * sig
-            radius = jnp.floor(3.0 * sig_w)
-            inside_o = (d2 < radius * radius + 0.5) & lane_ok
-            wgt = jnp.exp(-d2 / (2.0 * sig_w * sig_w)) * mw * inside_o
-            b = jnp.floor(
-                N_ORI_BINS * (ow + np.float32(np.pi)) / np.float32(2 * np.pi)
-            ).astype(jnp.int32)
-            b = jnp.clip(b, 0, N_ORI_BINS - 1)
-            hvals = [(kk, jnp.sum(jnp.where(b == kk, wgt, 0.0)))
-                     for kk in range(N_ORI_BINS)]
-            hrow = _scalar_row(hvals, 128)                       # (1,128)
-
-            # --- in-kernel tail: smooth, peaks, parabolic refinement ---
-            hs = jnp.dot(hrow, C_ref[0],
-                         preferred_element_type=jnp.float32)     # smoothed
-            left = jnp.dot(hs, C_ref[1],
-                           preferred_element_type=jnp.float32)
-            right = jnp.dot(hs, C_ref[2],
-                            preferred_element_type=jnp.float32)
-            lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            vlane = lane < N_ORI_BINS
-            ninf = jnp.float32(-jnp.inf)
-            hmax = jnp.max(jnp.where(vlane, hs, ninf))
-            is_peak = (
-                (hs >= 0.8 * hmax) & (hs > left) & (hs > right)
-                & (hmax > 0) & vlane
+            aux_row, drow = _kp_orient_desc(
+                mw, ow, rs_ref[k], cs_ref[k], fr_ref[k], fc_ref[k],
+                sig_ref[k], C_ref, win=win, max_ori=max_ori,
             )
-            score = jnp.where(is_peak, hs, ninf)
-            angs, oks = [], []
-            for _o in range(max_ori):
-                m = jnp.max(score)
-                bsel = jnp.min(jnp.where(score == m, lane, 999))  # tie: min idx
-                okk = jnp.isfinite(m)
-                l = _lane_scalar(left, bsel)
-                rg = _lane_scalar(right, bsel)
-                h = _lane_scalar(hs, bsel)
-                denom = l - 2.0 * h + rg
-                off = jnp.where(
-                    denom != 0.0,
-                    0.5 * (l - rg) / jnp.where(denom != 0.0, denom, 1.0),
-                    0.0,
-                )
-                ang = (
-                    np.float32(2 * np.pi)
-                    * (bsel.astype(jnp.float32) + 0.5 + off)
-                    / N_ORI_BINS
-                    - np.float32(np.pi)
-                )
-                ang = jnp.where(ang > np.float32(np.pi),
-                                ang - np.float32(2 * np.pi), ang)
-                ang = jnp.where(ang <= np.float32(-np.pi),
-                                ang + np.float32(2 * np.pi), ang)
-                angs.append(ang)
-                oks.append(okk)
-                score = jnp.where(lane == bsel, ninf, score)
-
-            # --- descriptors, one per accepted orientation ---
-            spacing_base = np.float32(MAG_FACTOR) * sig
-            drow = jnp.zeros((1, DW), jnp.float32)
-            for o in range(max_ori):
-
-                def desc_one(drow, angle=None, o=o):
-                    cos_t = jnp.cos(angle)
-                    sin_t = jnp.sin(angle)
-                    rrot = (cos_t * rr + sin_t * cc) / spacing_base
-                    crot = (-sin_t * rr + cos_t * cc) / spacing_base
-                    rbin = rrot + np.float32(DESC_GRID / 2.0 - 0.5)
-                    cbin = crot + np.float32(DESC_GRID / 2.0 - 0.5)
-                    inside = (
-                        (rbin > -1.0) & (rbin < DESC_GRID)
-                        & (cbin > -1.0) & (cbin < DESC_GRID)
-                        & lane_ok
-                    )
-                    gw = jnp.exp(
-                        -(rrot * rrot + crot * crot)
-                        / np.float32(2.0 * (0.5 * DESC_GRID) ** 2)
-                    )
-                    mm = gw * mw * inside
-                    obin = (ow - angle) * np.float32(DESC_ORI / (2 * np.pi))
-                    obin = obin - jnp.floor(obin / DESC_ORI) * DESC_ORI
-                    Cs = []
-                    for oo in range(DESC_ORI):
-                        do = jnp.abs(obin - oo)
-                        do = jnp.minimum(do, DESC_ORI - do)
-                        Cs.append(mm * jnp.maximum(0.0, 1.0 - do))
-                    vals = []
-                    for ri in range(DESC_GRID):
-                        wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - ri))
-                        for cj in range(DESC_GRID):
-                            wrc = wr * jnp.maximum(
-                                0.0, 1.0 - jnp.abs(cbin - cj)
-                            )
-                            for oo in range(DESC_ORI):
-                                idx = (
-                                    o * 128
-                                    + (ri * DESC_GRID + cj) * DESC_ORI + oo
-                                )
-                                vals.append((idx, jnp.sum(wrc * Cs[oo])))
-                    return drow + _scalar_row(vals, DW)
-
-                drow = lax.cond(
-                    oks[o],
-                    functools.partial(desc_one, angle=angs[o]),
-                    lambda d: d,
-                    drow,
-                )
-
-            # --- pack aux row: lanes [0,max_ori) angles, [8,8+max_ori) ok ---
-            aux_vals = [(o, angs[o]) for o in range(max_ori)]
-            aux_vals += [
-                (8 + o, oks[o].astype(jnp.float32)) for o in range(max_ori)
-            ]
-            aux_acc = _select_row(aux_acc, j, _scalar_row(aux_vals, 128))
+            aux_acc = _select_row(aux_acc, j, aux_row)
             desc_acc = _select_row(desc_acc, j, drow)
             return (aux_acc, desc_acc)
 
@@ -661,123 +660,11 @@ def _fused_multi_kernel(s_ref, rs_ref, cs_ref, valid_ref, oct_ref, fr_ref,
                                  oriw.at[j], sems.at[j, 1]).wait()
             mw = _align_window(magw[j], rs, cs, win)
             ow = _align_window(oriw[j], rs, cs, win)
-            fr = fr_ref[k]
-            fc = fc_ref[k]
-            sig = sig_ref[k]
-            rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
-                jnp.float32) + (rs_ref[k].astype(jnp.float32) - fr)
-            cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
-                jnp.float32) + (cs_ref[k].astype(jnp.float32) - fc)
-            lane_ok = lax.broadcasted_iota(jnp.int32, (win, 128), 1) < win
-
-            d2 = rr * rr + cc * cc
-            sig_w = 1.5 * sig
-            radius = jnp.floor(3.0 * sig_w)
-            inside_o = (d2 < radius * radius + 0.5) & lane_ok
-            wgt = jnp.exp(-d2 / (2.0 * sig_w * sig_w)) * mw * inside_o
-            b = jnp.floor(
-                N_ORI_BINS * (ow + np.float32(np.pi)) / np.float32(2 * np.pi)
-            ).astype(jnp.int32)
-            b = jnp.clip(b, 0, N_ORI_BINS - 1)
-            hvals = [(kk, jnp.sum(jnp.where(b == kk, wgt, 0.0)))
-                     for kk in range(N_ORI_BINS)]
-            hrow = _scalar_row(hvals, 128)
-
-            hs = jnp.dot(hrow, C_ref[0], preferred_element_type=jnp.float32)
-            left = jnp.dot(hs, C_ref[1], preferred_element_type=jnp.float32)
-            right = jnp.dot(hs, C_ref[2], preferred_element_type=jnp.float32)
-            lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            vlane = lane < N_ORI_BINS
-            ninf = jnp.float32(-jnp.inf)
-            hmax = jnp.max(jnp.where(vlane, hs, ninf))
-            is_peak = (
-                (hs >= 0.8 * hmax) & (hs > left) & (hs > right)
-                & (hmax > 0) & vlane
+            aux_row, drow = _kp_orient_desc(
+                mw, ow, rs_ref[k], cs_ref[k], fr_ref[k], fc_ref[k],
+                sig_ref[k], C_ref, win=win, max_ori=max_ori,
             )
-            score = jnp.where(is_peak, hs, ninf)
-            angs, oks = [], []
-            for _o in range(max_ori):
-                m = jnp.max(score)
-                bsel = jnp.min(jnp.where(score == m, lane, 999))
-                okk = jnp.isfinite(m)
-                l = _lane_scalar(left, bsel)
-                rg = _lane_scalar(right, bsel)
-                h = _lane_scalar(hs, bsel)
-                denom = l - 2.0 * h + rg
-                off = jnp.where(
-                    denom != 0.0,
-                    0.5 * (l - rg) / jnp.where(denom != 0.0, denom, 1.0),
-                    0.0,
-                )
-                ang = (
-                    np.float32(2 * np.pi)
-                    * (bsel.astype(jnp.float32) + 0.5 + off)
-                    / N_ORI_BINS
-                    - np.float32(np.pi)
-                )
-                ang = jnp.where(ang > np.float32(np.pi),
-                                ang - np.float32(2 * np.pi), ang)
-                ang = jnp.where(ang <= np.float32(-np.pi),
-                                ang + np.float32(2 * np.pi), ang)
-                angs.append(ang)
-                oks.append(okk)
-                score = jnp.where(lane == bsel, ninf, score)
-
-            spacing_base = np.float32(MAG_FACTOR) * sig
-            drow = jnp.zeros((1, DW), jnp.float32)
-            for o in range(max_ori):
-
-                def desc_one(drow, angle=None, o=o):
-                    cos_t = jnp.cos(angle)
-                    sin_t = jnp.sin(angle)
-                    rrot = (cos_t * rr + sin_t * cc) / spacing_base
-                    crot = (-sin_t * rr + cos_t * cc) / spacing_base
-                    rbin = rrot + np.float32(DESC_GRID / 2.0 - 0.5)
-                    cbin = crot + np.float32(DESC_GRID / 2.0 - 0.5)
-                    inside = (
-                        (rbin > -1.0) & (rbin < DESC_GRID)
-                        & (cbin > -1.0) & (cbin < DESC_GRID)
-                        & lane_ok
-                    )
-                    gw = jnp.exp(
-                        -(rrot * rrot + crot * crot)
-                        / np.float32(2.0 * (0.5 * DESC_GRID) ** 2)
-                    )
-                    mm = gw * mw * inside
-                    obin = (ow - angle) * np.float32(DESC_ORI / (2 * np.pi))
-                    obin = obin - jnp.floor(obin / DESC_ORI) * DESC_ORI
-                    Cs = []
-                    for oo2 in range(DESC_ORI):
-                        do = jnp.abs(obin - oo2)
-                        do = jnp.minimum(do, DESC_ORI - do)
-                        Cs.append(mm * jnp.maximum(0.0, 1.0 - do))
-                    vals = []
-                    for ri in range(DESC_GRID):
-                        wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - ri))
-                        for cj in range(DESC_GRID):
-                            wrc = wr * jnp.maximum(
-                                0.0, 1.0 - jnp.abs(cbin - cj)
-                            )
-                            for oo2 in range(DESC_ORI):
-                                idx = (
-                                    o * 128
-                                    + (ri * DESC_GRID + cj) * DESC_ORI + oo2
-                                )
-                                vals.append((idx, jnp.sum(wrc * Cs[oo2])))
-                    return drow + _scalar_row(vals, DW)
-
-                drow = lax.cond(
-                    oks[o],
-                    functools.partial(desc_one, angle=angs[o]),
-                    lambda d: d,
-                    drow,
-                )
-
-            aux_vals = [(o, angs[o]) for o in range(max_ori)]
-            aux_vals += [
-                (8 + o, oks[o].astype(jnp.float32)) for o in range(max_ori)
-            ]
-            aux_acc = _select_row(aux_acc, j, _scalar_row(aux_vals, 128))
+            aux_acc = _select_row(aux_acc, j, aux_row)
             desc_acc = _select_row(desc_acc, j, drow)
             return (aux_acc, desc_acc)
 

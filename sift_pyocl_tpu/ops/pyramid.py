@@ -216,22 +216,22 @@ def build_scale_space_jax(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_oct = cfg.n_octaves(img.shape[:2])
-    if backend == "pallas" and cfg.init_sigma > cfg.orig_sigma * (
-        2.0 if cfg.double_im_size else 1.0
-    ):
+    cur0 = cfg.orig_sigma * (2.0 if cfg.double_im_size else 1.0)
+    use_strip = False
+    if backend == "pallas" and cfg.init_sigma > cur0:
+        from .pallas.ladder0 import octave0_ladder, octave0_ladder_supported
+
+        pre = float(np.sqrt(cfg.init_sigma**2 - cur0**2))
+        # large init_sigma taps exceed the strip margins -> per-level path
+        use_strip = octave0_ladder_supported(pre, cfg.sigma_increments())
+    if use_strip:
         # octave 0 (too big for whole-plane VMEM) in ONE strip-ladder launch:
         # pre-blur + all levels + DoGs fused (ops/pallas/ladder0.py)
-        from .pallas.ladder0 import octave0_ladder
-
         data = normalize_image_jax(img)
-        cur_sigma = cfg.orig_sigma
         if cfg.double_im_size:
             data = upscale2_jax(data)
-            cur_sigma *= 2.0
         blurs0, dogs0 = octave0_ladder(
-            data,
-            float(np.sqrt(cfg.init_sigma**2 - cur_sigma**2)),
-            cfg.sigma_increments(),
+            data, pre, cfg.sigma_increments(),
             interpret=cfg.pallas_interpret,
         )
     else:

@@ -69,12 +69,26 @@ def initialize_multihost(
             or _gt1(os.environ.get("SLURM_JOB_NUM_NODES", ""))
             or _gt1(os.environ.get("OMPI_COMM_WORLD_SIZE", ""))
         )
-        if env_configured and jax.process_count() == 1:
-            # auto-detection path; raises if the env is inconsistent, which
-            # is the correct failure mode for a mis-configured pod job
+        if env_configured:
+            # CRITICAL ordering: do NOT touch jax.process_count()/devices()
+            # before initialize — they would initialize the XLA backend and
+            # initialize() then always raises (jax 0.9 backends_are_
+            # initialized check).  If another component already initialized
+            # distributed mode, initialize raises RuntimeError — treat that
+            # as "already done" and continue.
             logger.info("multi-process environment detected; running "
                         "jax.distributed.initialize() auto-detection")
-            jax.distributed.initialize(coordinator_address=coordinator_address)
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address
+                )
+            except RuntimeError as e:
+                if "already" in str(e) or "must be called before" in str(e):
+                    logger.warning(
+                        "jax.distributed.initialize skipped: %s", e
+                    )
+                else:
+                    raise
     return jax.process_index(), jax.process_count()
 
 

@@ -246,7 +246,7 @@ class IncrementalSfM:
             # periodic BA
             if len(Rs) % self.ba_every == 0:
                 Rs, ts, map_X = self._run_ba(Rs, ts, map_X, obs_cam, obs_pt, obs_uv)
-                self._map_arrays = (map_X, map_desc)
+                self._map_arrays = (map_X, map_desc, 0)
             _say(verbose, "frame %d: cam %d, %d PnP inliers, map %d",
                  f, cam_id, int(n_inl), len(map_X))
 

@@ -52,12 +52,24 @@ def stage_times(plan, image=None, n_hi: int = 9, reps: int = 2) -> Dict[str, flo
                         b.desc.astype(jnp.float32).sum(), b.valid.sum()]
                 return {"s": acc}
             if use_pallas:
-                from ..ops.detect import detect_all_octaves_pallas
-
-                det = detect_all_octaves_pallas(
-                    [d for _, d in octs], cfg, [cp for cp, _ in caps]
+                from ..ops.detect import (
+                    detect_all_octaves_pallas,
+                    detect_octave_pallas,
                 )
-                acc += [k.fr.sum() + k.valid.sum() for k, _ in det]
+
+                if cfg.kp_multi_launch:
+                    det = detect_all_octaves_pallas(
+                        [d for _, d in octs], cfg, [cp for cp, _ in caps],
+                        interpret=cfg.pallas_interpret,
+                    )
+                    acc += [k.fr.sum() + k.valid.sum() for k, _ in det]
+                else:
+                    for o, (_, dogs) in enumerate(octs):
+                        k, _ = detect_octave_pallas(
+                            dogs, cfg, o, caps[o][0],
+                            interpret=cfg.pallas_interpret,
+                        )
+                        acc.append(k.fr.sum() + k.valid.sum())
                 return {"s": acc}
             for o, (blurs, dogs) in enumerate(octs):
                 kps = detect_octave(dogs, cfg, o, caps[o][0])

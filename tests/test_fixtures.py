@@ -24,7 +24,9 @@ def test_fixture_roundtrip(tmp_path, monkeypatch):
 def test_reference_image_parity_when_available():
     """BASELINE config 1 on a REAL reference test image — runs only when the
     classic image has been ingested (no network here)."""
-    img = reference_test_image("lena") or reference_test_image("reference512")
+    img = reference_test_image("lena")
+    if img is None:
+        img = reference_test_image("reference512")
     if img is None:
         pytest.skip("no reference fixture image ingested "
                     "(set SIFT_PYOCL_FIXTURES)")
