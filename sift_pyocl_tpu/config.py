@@ -49,6 +49,9 @@ class SiftConfig:
     ori_window: int = 40                # static orientation gather window (px)
     desc_window: int = 80               # static descriptor gather window (px)
     max_interp_moves: int = 5           # iterative subpixel refinement moves
+    max_ori: int = 2                    # orientation peaks kept per keypoint
+                                        # (reference spawns every >=0.8*max
+                                        # peak; >2 is rare — raise if needed)
     min_octave_size: int = 2 * 5 + 3    # stop octaves when min dim <= this
     conv_backend: str = "auto"          # pyramid conv: "pallas" | "xla" | "auto"
                                         # (auto = fused Pallas kernel on TPU)

@@ -110,7 +110,8 @@ def describe_octaves(octaves, shape: Tuple[int, int],
         mags, oris = gradient_planes(blurs, cfg)
         kps = detect_octave(dogs, cfg, o, cap)
         extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
-        okps = assign_orientations(mags, oris, kps, cfg, dcap)
+        okps = assign_orientations(mags, oris, kps, cfg, dcap,
+                                   max_ori=cfg.max_ori)
         desc = compute_descriptors(mags, oris, okps, cfg)
         sigma_oct = cfg.init_sigma * 2.0 ** (okps.fs / cfg.scales)
         xs.append(okps.fc * octsize)
@@ -151,7 +152,8 @@ def _describe_octaves_pallas_per_octave(octaves, caps,
         extrema_count = jnp.sum(kps.valid.astype(jnp.int32))
         mag_p, ori_p = pad_grad_planes(mags, oris)
         okps, desc = orient_and_describe_fused_pallas(
-            mag_p, ori_p, kps, cfg, interpret=cfg.pallas_interpret
+            mag_p, ori_p, kps, cfg, max_ori=cfg.max_ori,
+            interpret=cfg.pallas_interpret,
         )
         sigma_oct = cfg.init_sigma * 2.0 ** (okps.fs / cfg.scales)
         xs.append(okps.fc * octsize)
@@ -174,15 +176,17 @@ def _describe_octaves_pallas_per_octave(octaves, caps,
 
 
 def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
-                             max_ori: int = 2) -> KeypointBuffer:
-    """Pallas production path: THREE kernel launches total for all octaves
-    (multi-octave compact, multi-octave refine, multi-octave fused
-    orientation+descriptor) — per-octave launches cost ~0.13 ms each of
-    pure overhead on this platform (round-2 measurement)."""
+                             max_ori: int = None) -> KeypointBuffer:
+    """Pallas production path: one multi-octave compact launch, per-octave
+    refine launches (a multi-octave refine measured slower — see
+    detect_all_octaves_pallas), and one multi-octave fused
+    orientation+descriptor launch."""
     from ..ops.detect import detect_all_octaves_pallas
     from ..ops.orient_desc import _desc_window_size, quantize_descriptors
     from ..ops.pallas.window import orient_desc_fused_multi_pallas, pad_grad_planes
 
+    if max_ori is None:
+        max_ori = cfg.max_ori
     interp = cfg.pallas_interpret
     detected = detect_all_octaves_pallas(
         [dogs for _, dogs in octaves], cfg, [c for c, _ in caps],

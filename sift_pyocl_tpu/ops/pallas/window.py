@@ -556,7 +556,9 @@ def orient_desc_fused_pallas(
     compute_descriptors up to f32 summation-order ulps.
     """
     cap = s_int.shape[0]
-    assert cap % KP_BLOCK == 0 and win <= 128
+    # max_ori <= 8: the aux row packs angles in lanes [0,8) and ok flags in
+    # [8,8+max_ori)
+    assert cap % KP_BLOCK == 0 and win <= 128 and max_ori <= 8
     rows_f = win + 8
     half = win // 2
     r0 = jnp.round(fr).astype(jnp.int32)

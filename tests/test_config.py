@@ -71,3 +71,29 @@ def test_siftplan_memory_precheck():
         SiftPlan(shape=(120000, 120000))
     p = SiftPlan(shape=(512, 512))
     assert 0 < p.calc_memory() < (1 << 30)
+
+
+def test_max_ori_knob():
+    """cfg.max_ori threads through both kp backends consistently."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import detect_and_describe
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    scene = synthetic_scene((128, 128), n_blobs=15, seed=0)
+    for mo in (2, 3):
+        bx = detect_and_describe(
+            jnp.asarray(scene),
+            SiftConfig(kp_per_octave_cap=256, kp_backend="xla",
+                       conv_backend="xla", max_ori=mo),
+        )
+        bp = detect_and_describe(
+            jnp.asarray(scene),
+            SiftConfig(kp_per_octave_cap=256, kp_backend="pallas",
+                       conv_backend="xla", pallas_interpret=True, max_ori=mo),
+        )
+        assert int(np.asarray(bx.valid).sum()) == int(
+            np.asarray(bp.valid).sum()
+        ) > 5
