@@ -76,3 +76,33 @@ def test_detect_and_describe_mosaic_matches_xla(scene160):
     hits, desc_l1 = match_keypoint_sets(kx, kp)
     assert hits >= 0.95 * len(kx), f"{hits}/{len(kx)}"
     assert desc_l1 < 0.2
+
+
+def test_vo_step_mosaic_runs():
+    """The fused VO step (flagship model) compiles and runs Mosaic on the
+    chip: finite outputs, tracking healthy on a translating scene."""
+    import jax
+    import numpy as np
+
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.vo import VOConfig, vo_init, vo_step
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    cfg = SiftConfig(kp_per_octave_cap=256)
+    vo = VOConfig(window=4, pts_per_frame=64, obs_per_frame=128,
+                  pnp_n=128, pnp_iters=4, cg_iters=4)
+    H, W = 160, 160
+    base = synthetic_scene((H + 48, W + 48), n_blobs=40, seed=0)
+    K = jnp.asarray([[200.0, 0, W / 2], [0, 200.0, H / 2], [0, 0, 1.0]],
+                    jnp.float32)
+
+    def frame_at(dx):
+        return jnp.asarray(base[24 : 24 + H, 24 + dx : 24 + dx + W])
+
+    st = vo_init(frame_at(0), K, cfg, vo)
+    st, out = vo_step(st, frame_at(2), K, cfg, vo)
+    jax.block_until_ready(out.t)
+    assert bool(out.tracked)
+    assert int(out.n_matches) > 10
+    assert np.isfinite(float(out.rms_px)) and float(out.rms_px) < 3.0
+    assert np.all(np.isfinite(np.asarray(out.t)))
