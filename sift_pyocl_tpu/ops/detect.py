@@ -231,21 +231,24 @@ def detect_all_octaves_pallas(
     capacities.  Same numerics as per-octave `detect_octave_pallas`; the
     seven per-octave compact launches (~0.13 ms each of pure launch
     overhead at 1080p) collapse into one multi-cursor kernel
-    (ops.pallas.compact.compact_masks_multi).  Refinement stays per-octave:
-    a multi-octave refine (predicated DMA against each octave's DoG ref)
-    measured 0.4 ms SLOWER on chip — branch overhead dominates its tiny
-    per-candidate work, unlike the fused orientation kernel where the same
-    trick wins.  Returns a list of (RefinedKeypoints, extrema_count).
+    (ops.pallas.compact.compact_masks_multi), and the seven refine
+    launches into ONE atlas launch: every octave's padded DoG stack lives
+    in one (S, sum H_o, Wmax) array with per-candidate row offsets and
+    clamp bounds (ops.pallas.refine.refine_atlas_pallas) — offset
+    arithmetic instead of the per-ref @pl.when branching that measured
+    0.4 ms slower.  Returns a list of (RefinedKeypoints, extrema_count).
     """
     from .pallas.compact import compact_masks_multi
-    from .pallas.refine import pad_dogs, refine_pallas
+    from .pallas.refine import build_dog_atlas, refine_atlas_pallas
 
     bd = cfg.border_dist
     masks = [extrema_mask(d, cfg, o) for o, d in enumerate(octave_dogs)]
     idx_all, written, total = compact_masks_multi(
         masks, list(caps), interpret=interpret
     )
-    out = []
+    atlas, row_starts = build_dog_atlas(octave_dogs)
+    s_l, r_l, c_l, v_l = [], [], [], []
+    rlo_l, rhi_l, clo_l, chi_l = [], [], [], []
     off = 0
     for o, (dogs, mask, cap) in enumerate(zip(octave_dogs, masks, caps)):
         S, H, W = dogs.shape
@@ -254,20 +257,38 @@ def detect_all_octaves_pallas(
         off += cap
         valid = jnp.arange(cap, dtype=jnp.int32) < written[o]
         idx = jnp.where(valid, idx, 0)
-        s = (idx // (Hm * Wm) + 1).astype(jnp.int32)
+        s_l.append((idx // (Hm * Wm) + 1).astype(jnp.int32))
         rem = idx % (Hm * Wm)
-        r = (rem // Wm + bd).astype(jnp.int32)
-        c = (rem % Wm + bd).astype(jnp.int32)
-        fs, fr, fc, peak, acc = refine_pallas(
-            pad_dogs(dogs), s, r, c, valid,
-            H=H, W=W, bd=bd, peak_thresh=cfg.peak_thresh,
-            max_moves=cfg.max_interp_moves, interpret=interpret,
-        )
+        r_l.append((rem // Wm + bd + row_starts[o]).astype(jnp.int32))
+        c_l.append((rem % Wm + bd).astype(jnp.int32))
+        v_l.append(valid)
+        rlo_l.append(jnp.full((cap,), row_starts[o] + bd, jnp.int32))
+        rhi_l.append(jnp.full((cap,), row_starts[o] + H - bd, jnp.int32))
+        clo_l.append(jnp.full((cap,), bd, jnp.int32))
+        chi_l.append(jnp.full((cap,), W - bd, jnp.int32))
+    s_cat = jnp.concatenate(s_l)
+    v_cat = jnp.concatenate(v_l)
+    fs, fr_a, fc, peak, acc = refine_atlas_pallas(
+        atlas, s_cat, jnp.concatenate(r_l), jnp.concatenate(c_l), v_cat,
+        jnp.concatenate(rlo_l), jnp.concatenate(rhi_l),
+        jnp.concatenate(clo_l), jnp.concatenate(chi_l),
+        peak_thresh=cfg.peak_thresh, max_moves=cfg.max_interp_moves,
+        interpret=interpret,
+    )
+    out = []
+    off = 0
+    for o, cap in enumerate(caps):
+        sl = slice(off, off + cap)
         kps = RefinedKeypoints(
-            s_int=s, fs=fs, fr=fr, fc=fc, peak=peak,
-            valid=(acc > 0) & valid,
+            s_int=s_l[o],
+            fs=fs[sl],
+            fr=fr_a[sl] - row_starts[o],
+            fc=fc[sl],
+            peak=peak[sl],
+            valid=(acc[sl] > 0) & v_l[o],
         )
         out.append((kps, total[o]))
+        off += cap
     return out
 
 

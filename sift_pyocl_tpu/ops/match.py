@@ -99,6 +99,16 @@ def _best2_l2(desc1: jnp.ndarray, desc2: jnp.ndarray, valid2: jnp.ndarray):
     return d1, d2, a1
 
 
+def _best2_l2_auto(desc1, desc2, valid2):
+    """L2 best-2 via the fused Pallas kernel on TPU (the distance matrix
+    never touches HBM — ops/pallas/matchk.py), XLA reduction elsewhere."""
+    from .pallas.matchk import MAX_N2, best2_l2_pallas
+
+    if jax.default_backend() == "tpu" and desc2.shape[0] <= MAX_N2:
+        return best2_l2_pallas(desc1, desc2, valid2)
+    return _best2_l2(desc1, desc2, valid2)
+
+
 @partial(jax.jit, static_argnames=("metric", "ratio_sq"))
 def match_descriptors_dense(
     desc1: jnp.ndarray,
@@ -119,7 +129,7 @@ def match_descriptors_dense(
     if metric == "L1":
         d1, d2, i1 = _best2_l1(desc1, desc2, valid2)
     elif metric == "L2":
-        d1, d2, i1 = _best2_l2(desc1, desc2, valid2)
+        d1, d2, i1 = _best2_l2_auto(desc1, desc2, valid2)
     else:
         raise ValueError(f"unknown metric {metric!r}")
     finite = d2 < jnp.float32(INT_MAX)
@@ -154,7 +164,7 @@ def match_descriptors_jax(
     if metric == "L1":
         d1, d2, i1 = _best2_l1(desc1, desc2, valid2)
     elif metric == "L2":
-        d1, d2, i1 = _best2_l2(desc1, desc2, valid2)
+        d1, d2, i1 = _best2_l2_auto(desc1, desc2, valid2)
     else:
         raise ValueError(f"unknown metric {metric!r}")
     finite = d2 < jnp.float32(INT_MAX)  # at least two valid candidates

@@ -9,8 +9,8 @@ counterpart (SURVEY.md §2.3).
 TPU-first design:
   * Observation-major layout: (M,) arrays of (cam_id, pt_id, uv, weight) with
     static capacity and 0-weight padding.
-  * Per-observation 2x6 / 2x3 Jacobian blocks via vmapped `jax.jacfwd` of the
-    projection at the se(3)/point tangent — no hand-derived Jacobians.
+  * Per-observation 2x6 / 2x3 Jacobian blocks in closed form
+    (geometry.project_jacobians) — checked against jacfwd in the tests.
   * Point (V) blocks: batched closed-form 3x3 inverses, always local.
   * The reduced camera system S = U_damped - W V^-1 W^T is never assembled:
     CG applies it matrix-free with two segment_sums and two gathers per
@@ -58,12 +58,6 @@ def _psum(x, axis_name):
     return lax.psum(x, axis_name) if axis_name is not None else x
 
 
-def _residual_one(xi, dX, K, R, t, X, uv):
-    R2, t2 = pose_retract(R, t, xi)
-    p, _ = project(K, R2, t2, X + dX)
-    return p - uv
-
-
 def residuals(params: BAParams, obs: BAObs, K) -> jnp.ndarray:
     """(M,2) reprojection residuals."""
     R = params.Rs[obs.cam]
@@ -90,15 +84,15 @@ def robust_cost(r: jnp.ndarray, w: jnp.ndarray, huber_px: float, axis_name=None)
 
 
 def _jac_blocks(params: BAParams, obs: BAObs, K):
-    """Per-observation Jacobians: (M,2,6) wrt camera tangent, (M,2,3) wrt point."""
-    def one(R, t, X, uv):
-        f = lambda xi, dX: _residual_one(xi, dX, K, R, t, X, uv)
-        Jc = jax.jacfwd(f, argnums=0)(jnp.zeros(6), jnp.zeros(3))
-        Jp = jax.jacfwd(f, argnums=1)(jnp.zeros(6), jnp.zeros(3))
-        return Jc, Jp
+    """Per-observation Jacobians: (M,2,6) wrt camera tangent, (M,2,3) wrt point.
 
-    return jax.vmap(one)(
-        params.Rs[obs.cam], params.ts[obs.cam], params.X[obs.pt], obs.uv
+    Closed-form (geometry.project_jacobians) — the earlier per-observation
+    `jacfwd` formulation traced se3_exp with 9 tangents per observation and
+    dominated the BA build cost at VO shapes."""
+    from .geometry import project_jacobians
+
+    return project_jacobians(
+        K, params.Rs[obs.cam], params.ts[obs.cam], params.X[obs.pt]
     )
 
 

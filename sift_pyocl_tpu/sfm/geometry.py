@@ -115,6 +115,52 @@ def project(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray, X: jnp.ndarray):
     return jnp.stack([u, v], axis=-1), z
 
 
+def project_jacobians(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+                      X: jnp.ndarray):
+    """Analytic Jacobians of the reprojection residual at the current pose.
+
+    For r(xi, dX) = project(K, pose_retract(R, t, xi), X + dX) - uv the
+    derivatives at (xi, dX) = 0 are closed-form (left-multiplicative
+    perturbation: Xc' = exp(w) Xc + u  =>  dXc/dw = -[Xc]x, dXc/du = I,
+    dXc/dX = R), so there is no need for per-observation `jax.jacfwd` —
+    which traces the whole se3_exp chain with 9 tangents per observation
+    and dominated the BA system-build cost.
+
+    Batched over leading dims of X (R, t broadcast or batched alike).
+    Returns (Jc (..., 2, 6) wrt xi = (omega, upsilon), Jp (..., 2, 3) wrt X).
+    Matches jacfwd of the residual bit-for-bit up to float association
+    (tests/test_ba.py::test_analytic_jacobians_match_jacfwd).
+    """
+    Xc = jnp.einsum("...ij,...j->...i", R, X) + t
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    iz = 1.0 / zs
+    fx_iz = K[0, 0] * iz
+    fy_iz = K[1, 1] * iz
+    zero = jnp.zeros_like(x)
+    # A = d(u,v)/dXc  (..., 2, 3)
+    A = jnp.stack(
+        [
+            jnp.stack([fx_iz, zero, -fx_iz * x * iz], -1),
+            jnp.stack([zero, fy_iz, -fy_iz * y * iz], -1),
+        ],
+        -2,
+    )
+    # dXc/domega = -[Xc]x
+    neg_hat = jnp.stack(
+        [
+            jnp.stack([zero, z, -y], -1),
+            jnp.stack([-z, zero, x], -1),
+            jnp.stack([y, -x, zero], -1),
+        ],
+        -2,
+    )
+    Jw = A @ neg_hat                             # (..., 2, 3)
+    Jc = jnp.concatenate([Jw, A], axis=-1)       # (..., 2, 6)
+    Jp = A @ R                                   # (..., 2, 3)
+    return Jc, Jp
+
+
 def backproject(K: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Pixel (..., 2) -> normalized camera ray (..., 3) with z=1."""
     x = (uv[..., 0] - K[0, 2]) / K[0, 0]
@@ -126,29 +172,59 @@ def backproject(K: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 # Triangulation
 # ----------------------------------------------------------------------------
 
+def _solve3_batched(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 solve via the adjugate (..., 3, 3) @ x = (..., 3)."""
+    a11, a12, a13 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a21, a22, a23 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a31, a32, a33 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c11 = a22 * a33 - a23 * a32
+    c12 = a13 * a32 - a12 * a33
+    c13 = a12 * a23 - a13 * a22
+    c21 = a23 * a31 - a21 * a33
+    c22 = a11 * a33 - a13 * a31
+    c23 = a13 * a21 - a11 * a23
+    c31 = a21 * a32 - a22 * a31
+    c32 = a12 * a31 - a11 * a32
+    c33 = a11 * a22 - a12 * a21
+    det = a11 * c11 + a12 * c21 + a13 * c31
+    det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    x0 = c11 * b[..., 0] + c12 * b[..., 1] + c13 * b[..., 2]
+    x1 = c21 * b[..., 0] + c22 * b[..., 1] + c23 * b[..., 2]
+    x2 = c31 * b[..., 0] + c32 * b[..., 1] + c33 * b[..., 2]
+    return jnp.stack([x0, x1, x2], axis=-1) / det[..., None]
+
+
 def triangulate_two_view(K1, R1, t1, K2, R2, t2, uv1, uv2):
-    """Linear (DLT) triangulation of correspondences (N,2)+(N,2) -> (N,3).
+    """Linear triangulation of correspondences (N,2)+(N,2) -> (N,3).
+
+    Inhomogeneous least squares (w = 1): the four DLT rows B X = b are
+    solved via closed-form 3x3 normal equations.  The earlier homogeneous
+    formulation (smallest eigenvector of the 4x4 A^T A per point) cost a
+    vmapped iterative `eigh` inside the fused VO step — ~1 ms at VO shapes;
+    this form is a handful of elementwise ops.  Degenerate/far points give
+    large |X| instead of a clean point at infinity; callers already gate on
+    cheirality/depth, which rejects both.
 
     Also returns the per-point depths in both cameras for cheirality tests.
     """
     P1 = K1 @ jnp.concatenate([R1, t1[:, None]], axis=1)  # (3,4)
     P2 = K2 @ jnp.concatenate([R2, t2[:, None]], axis=1)
 
-    def one(p1, p2):
-        A = jnp.stack(
-            [
-                p1[0] * P1[2] - P1[0],
-                p1[1] * P1[2] - P1[1],
-                p2[0] * P2[2] - P2[0],
-                p2[1] * P2[2] - P2[1],
-            ]
-        )
-        # smallest right singular vector of A (4x4): use eigh of A^T A
-        _, V = jnp.linalg.eigh(A.T @ A)
-        Xh = V[:, 0]
-        return Xh[:3] / jnp.where(jnp.abs(Xh[3]) > 1e-12, Xh[3], 1e-12)
-
-    X = jax.vmap(one)(uv1, uv2)
+    rows = jnp.stack(
+        [
+            uv1[:, 0, None] * P1[2] - P1[0],
+            uv1[:, 1, None] * P1[2] - P1[1],
+            uv2[:, 0, None] * P2[2] - P2[0],
+            uv2[:, 1, None] * P2[2] - P2[1],
+        ],
+        axis=1,
+    )                                           # (N, 4, 4)
+    B = rows[:, :, :3]
+    b = -rows[:, :, 3]
+    BtB = jnp.einsum("nij,nik->njk", B, B)
+    BtB = BtB + 1e-12 * jnp.eye(3)
+    Btb = jnp.einsum("nij,ni->nj", B, b)
+    X = _solve3_batched(BtB, Btb)
     _, z1 = project(K1, R1, t1, X)
     _, z2 = project(K2, R2, t2, X)
     return X, z1, z2

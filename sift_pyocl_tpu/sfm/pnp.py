@@ -45,16 +45,14 @@ def pnp_refine(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pose-only LM.  Returns (R, t, rms_px_on_inliers)."""
 
-    def jac_one(R, t, Xi, uvi):
-        f = lambda xi: _residuals_pose(K, *pose_retract(R, t, xi), Xi[None], uvi[None])[0][0]
-        return jax.jacfwd(f)(jnp.zeros(6))  # (2,6)
+    from .geometry import project_jacobians
 
     def step(carry, _):
         R, t, lam = carry
         r, z = _residuals_pose(K, R, t, X, uv)
         nrm = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
         wr = w * (z > 1e-6) * jnp.minimum(1.0, huber_px / nrm)
-        J = jax.vmap(lambda Xi, uvi: jac_one(R, t, Xi, uvi))(X, uv)  # (N,2,6)
+        J, _ = project_jacobians(K, R, t, X)  # (N,2,6) closed-form
         JT = jnp.swapaxes(J, 1, 2)
         H = jnp.einsum("nij,njk->ik", JT * wr[:, None, None], J)
         g = -jnp.einsum("nij,nj->i", JT * wr[:, None, None], r)

@@ -76,3 +76,31 @@ def test_distributed_ba_matches_single(problem):
         camera_centers(gt.Rs, gt.ts),
     )
     assert ate < 0.02
+
+
+def test_analytic_jacobians_match_jacfwd():
+    """geometry.project_jacobians == jacfwd of the retract+project residual."""
+    from sift_pyocl_tpu.sfm.geometry import (
+        pose_retract, project, project_jacobians, so3_exp,
+    )
+
+    rng = np.random.default_rng(7)
+    K = jnp.asarray([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]], jnp.float32)
+    R = so3_exp(jnp.asarray(rng.normal(size=3) * 0.3, jnp.float32))
+    t = jnp.asarray(rng.normal(size=3), jnp.float32)
+    X = jnp.asarray(rng.normal(size=(50, 3)) * 2 + [0, 0, 6], jnp.float32)
+
+    def res(xi, dX, Xi):
+        R2, t2 = pose_retract(R, t, xi)
+        p, _ = project(K, R2, t2, Xi + dX)
+        return p
+
+    Jc_ad = jax.vmap(
+        lambda Xi: jax.jacfwd(res, argnums=0)(jnp.zeros(6), jnp.zeros(3), Xi)
+    )(X)
+    Jp_ad = jax.vmap(
+        lambda Xi: jax.jacfwd(res, argnums=1)(jnp.zeros(6), jnp.zeros(3), Xi)
+    )(X)
+    Jc, Jp = project_jacobians(K, R, t, X)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jc_ad), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jp), np.asarray(Jp_ad), rtol=2e-4, atol=1e-4)

@@ -87,3 +87,44 @@ def test_match_plan_translated_scene(small_cfg):
     dx = np.median(m[:, 1]["x"] - m[:, 0]["x"])
     dy = np.median(m[:, 1]["y"] - m[:, 0]["y"])
     assert abs(dx + 5) < 0.5 and abs(dy - 3) < 0.5
+
+
+def test_pallas_best2_matches_xla(desc_pair):
+    """Fused Pallas best-2 kernel (interpret mode) == XLA _best2_l2:
+    distances, argmin identity, and tie-breaking."""
+    from sift_pyocl_tpu.ops.match import _best2_l2
+    from sift_pyocl_tpu.ops.pallas.matchk import best2_l2_pallas
+
+    d1s, d2s, _perm = desc_pair
+    rng = np.random.default_rng(3)
+    valid2 = jnp.asarray(rng.uniform(size=len(d2s)) < 0.8)
+    # plant exact duplicates to exercise tie-breaking
+    d2s = np.array(d2s)
+    d2s[7] = d2s[3]
+    a, b = jnp.asarray(d1s), jnp.asarray(d2s)
+    x1, x2, xi = _best2_l2(a, b, valid2)
+    p1, p2, pi = best2_l2_pallas(a, b, valid2, interpret=True)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(x1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.where(np.isinf(p2), 1e30, np.asarray(p2)),
+        np.where(np.isinf(np.asarray(x2)), 1e30, np.asarray(x2)), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_pallas_best2_degenerate():
+    """Zero / one valid column rows keep XLA semantics through the kernel."""
+    from sift_pyocl_tpu.ops.match import _best2_l2
+    from sift_pyocl_tpu.ops.pallas.matchk import best2_l2_pallas
+
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.integers(0, 255, (8, 128)), jnp.uint8)
+    b = jnp.asarray(rng.integers(0, 255, (16, 128)), jnp.uint8)
+    for nvalid in (0, 1):
+        v = jnp.asarray(np.arange(16) < nvalid)
+        x1, x2, xi = _best2_l2(a, b, v)
+        p1, p2, pi = best2_l2_pallas(a, b, v, interpret=True)
+        np.testing.assert_array_equal(
+            np.isinf(np.asarray(p2)), np.isinf(np.asarray(x2)))
+        if nvalid:
+            np.testing.assert_allclose(np.asarray(p1), np.asarray(x1), rtol=1e-6)
+            np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Per-stage on-chip profiler for the VO pipeline (round-3 tuning aid).
+
+Measures, with the chained-slope protocol (utils/benchtool.py):
+  pyramid          build_scale_space_jax
+  grad_pad         pyramid + gradient_planes + pad_grad_planes (all octaves)
+  detect           pyramid + detect_all_octaves_pallas
+  sift             full detect_and_describe
+  vo               full fused vo_step
+  match            descriptor matching at VO shapes (N kp slots vs W*PN map)
+  pnp              pnp_refine at VO shapes
+  ba               one lm_iteration at VO shapes
+
+Stage deltas: grad_pad-pyramid = gradient cost, detect-pyramid = detect,
+sift-detect ~ orient+desc (approx: sift also includes grad), vo-sift = VO tail.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
+    ap.add_argument("--n-hi", type=int, default=9)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--stages", type=str, default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import detect_and_describe, octave_capacities
+    from sift_pyocl_tpu.models.vo import VOConfig, vo_init, vo_step
+    from sift_pyocl_tpu.ops.detect import detect_all_octaves_pallas
+    from sift_pyocl_tpu.ops.match import match_descriptors_dense
+    from sift_pyocl_tpu.ops.orient_desc import gradient_planes
+    from sift_pyocl_tpu.ops.pallas.window import pad_grad_planes
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
+    from sift_pyocl_tpu.sfm.ba import BAObs, BAParams, lm_iteration
+    from sift_pyocl_tpu.sfm.pnp import pnp_refine
+    from sift_pyocl_tpu.utils.benchtool import chained_ms
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    cfg = SiftConfig()
+    vo = VOConfig()
+    shape = tuple(args.shape)
+    img = jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
+    K = jnp.asarray([[1000.0, 0, shape[1] / 2], [0, 1000.0, shape[0] / 2],
+                     [0, 0, 1.0]], jnp.float32)
+    caps = octave_capacities(shape, cfg)
+    n_slots = sum(c for c, _ in caps) * cfg.max_ori
+    W, PN, OBS_F = vo.window, vo.pts_per_frame, vo.obs_per_frame
+    P = W * PN
+
+    def st_pyramid(c):
+        octs = build_scale_space_jax(c, cfg)
+        return {"s": [b.sum() + d.sum() for b, d in octs]}
+
+    def st_grad_pad(c):
+        octs = build_scale_space_jax(c, cfg)
+        acc = [d.sum() for _, d in octs]
+        for blurs, _ in octs:
+            m, o = gradient_planes(blurs, cfg)
+            mp, op = pad_grad_planes(m, o)
+            acc += [mp.sum(), op.sum()]
+        return {"s": acc}
+
+    def st_detect(c):
+        octs = build_scale_space_jax(c, cfg)
+        acc = [b.sum() for b, _ in octs]
+        det = detect_all_octaves_pallas(
+            [d for _, d in octs], cfg, [cp for cp, _ in caps],
+            interpret=cfg.pallas_interpret)
+        acc += [k.fr.sum() + k.valid.sum() for k, _ in det]
+        return {"s": acc}
+
+    def st_sift(c):
+        b = detect_and_describe(c, cfg)
+        return {"s": [b.x.sum(), b.angle.sum(),
+                      b.desc.astype(jnp.float32).sum(), b.valid.sum()]}
+
+    st0 = vo_init(img, K, cfg, vo)
+
+    def st_vo(c):
+        st2, out = vo_step(st0, c, K, cfg, vo)
+        return {"s": [st2.ts.sum(), out.ba_cost, out.rms_px,
+                      st2.X.sum(), st2.obs_w.sum()]}
+
+    # --- VO tail pieces at real shapes ---
+    rng = np.random.default_rng(0)
+    desc_q = jnp.asarray(rng.integers(0, 255, (n_slots, 128)), jnp.uint8)
+    valid_q = jnp.asarray(rng.uniform(size=n_slots) < 0.3)
+    desc_m = jnp.asarray(rng.integers(0, 255, (P, 128)), jnp.uint8)
+    valid_m = jnp.asarray(rng.uniform(size=P) < 0.8)
+
+    def st_match(c):
+        # data-depend on c so the chain is honest
+        d = (desc_q + c[0, 0].astype(jnp.uint8))
+        keep, mid, d1, d2 = match_descriptors_dense(
+            d, valid_q, desc_m, valid_m, metric=vo.match_metric,
+            ratio_sq=vo.ratio_sq)
+        return {"s": [keep.sum(), mid.sum(), d1.sum()]}
+
+    X = jnp.asarray(rng.normal(size=(vo.pnp_n, 3)) * 2 + [0, 0, 6], jnp.float32)
+    uvp = jnp.asarray(rng.uniform(0, 1000, (vo.pnp_n, 2)), jnp.float32)
+    wp = jnp.ones((vo.pnp_n,), jnp.float32)
+    R0 = jnp.eye(3, dtype=jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+
+    def st_pnp(c):
+        R, t, rms = pnp_refine(K, R0, t0, X + c[0, 0] * 1e-9, uvp, wp,
+                               iters=vo.pnp_iters, huber_px=vo.huber_px)
+        return {"s": [R.sum(), t.sum(), rms]}
+
+    Xb = jnp.asarray(rng.normal(size=(P, 3)) * 2 + [0, 0, 6], jnp.float32)
+    Rs = jnp.broadcast_to(R0, (W, 3, 3)).copy()
+    ts = jnp.asarray(rng.normal(size=(W, 3)) * 0.1, jnp.float32)
+    obs_uv = jnp.asarray(rng.uniform(0, 1000, (W * OBS_F, 2)), jnp.float32)
+    obs_cam = jnp.repeat(jnp.arange(W, dtype=jnp.int32), OBS_F)
+    obs_pt = jnp.asarray(rng.integers(0, P, W * OBS_F), jnp.int32)
+    obs_w = jnp.ones((W * OBS_F,), jnp.float32)
+    free = jnp.arange(W) > 0
+
+    def st_ba(c):
+        params = BAParams(Rs, ts, Xb + c[0, 0] * 1e-9)
+        obs = BAObs(uv=obs_uv, cam=obs_cam, pt=obs_pt, w=obs_w)
+        p2, lam2, cost, _ = lm_iteration(
+            params, obs, K, jnp.float32(1e-3), free,
+            huber_px=vo.huber_px, cg_iters=vo.cg_iters, n_points=P)
+        return {"s": [p2.ts.sum(), cost, lam2]}
+
+    stages = {
+        "pyramid": st_pyramid, "grad_pad": st_grad_pad, "detect": st_detect,
+        "sift": st_sift, "vo": st_vo, "match": st_match, "pnp": st_pnp,
+        "ba": st_ba,
+    }
+    want = args.stages.split(",") if args.stages else list(stages)
+    out = {}
+    for name in want:
+        t0w = time.perf_counter()
+        ms = chained_ms(stages[name], img, n_hi=args.n_hi, reps=args.reps)
+        out[name] = round(ms, 3)
+        print(f"{name}: {ms:.3f} ms (wall {time.perf_counter()-t0w:.0f}s)",
+              flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
