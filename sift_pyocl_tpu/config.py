@@ -62,6 +62,11 @@ class SiftConfig:
     kp_multi_launch: bool = True        # batch compact + orient/desc kernels
                                         # across octaves (fewer launches);
                                         # False = per-octave launches
+    grad_backend: str = "pallas"        # gradient mag/ori atlas for the
+                                        # multi-launch kp path: "pallas"
+                                        # (fused gradient+pad kernel reading
+                                        # each blur plane once) | "xla"
+                                        # (gradient_planes + pad/concat)
 
     # --- derived helpers (pure functions of config + image shape) ---
 

@@ -177,13 +177,17 @@ def _describe_octaves_pallas_per_octave(octaves, caps,
 
 def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
                              max_ori: int = None) -> KeypointBuffer:
-    """Pallas production path: one multi-octave compact launch, per-octave
-    refine launches (a multi-octave refine measured slower — see
-    detect_all_octaves_pallas), and one multi-octave fused
-    orientation+descriptor launch."""
+    """Pallas production path: one multi-octave compact launch, one
+    atlas-refine launch (ops.detect.detect_all_octaves_pallas), and one
+    fused orientation+descriptor launch over a gradient-plane atlas (the
+    per-octave row offset is folded into the keypoint row coordinate, so
+    the single-octave kernel serves every octave branch-free).  The atlas
+    itself comes from the fused gradient+pad kernel
+    (ops/pallas/gradpad.py) unless cfg.grad_backend == "xla"."""
     from ..ops.detect import detect_all_octaves_pallas
     from ..ops.orient_desc import _desc_window_size, quantize_descriptors
-    from ..ops.pallas.window import orient_desc_fused_multi_pallas, pad_grad_planes
+    from ..ops.pallas.gradpad import grad_atlas_pallas
+    from ..ops.pallas.window import build_grad_atlas, orient_desc_fused_pallas
 
     if max_ori is None:
         max_ori = cfg.max_ori
@@ -192,12 +196,17 @@ def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
         [dogs for _, dogs in octaves], cfg, [c for c, _ in caps],
         interpret=interp,
     )
-    mag_l, ori_l = [], []
-    for blurs, _ in octaves:
-        mags, oris = gradient_planes(blurs, cfg)
-        mp, op = pad_grad_planes(mags, oris)
-        mag_l.append(mp)
-        ori_l.append(op)
+    if cfg.grad_backend == "pallas":
+        mag_a, ori_a, row_starts = grad_atlas_pallas(
+            [blurs for blurs, _ in octaves], cfg.scales, interpret=interp,
+        )
+    else:
+        mag_l, ori_l = [], []
+        for blurs, _ in octaves:
+            mags, oris = gradient_planes(blurs, cfg)
+            mag_l.append(mags)
+            ori_l.append(oris)
+        mag_a, ori_a, row_starts = build_grad_atlas(mag_l, ori_l)
 
     kps_l = [d[0] for d in detected]
     s_cat = jnp.concatenate([k.s_int for k in kps_l])
@@ -205,14 +214,15 @@ def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
     fr_cat = jnp.concatenate([k.fr for k in kps_l])
     fc_cat = jnp.concatenate([k.fc for k in kps_l])
     valid_cat = jnp.concatenate([k.valid for k in kps_l])
-    oct_cat = jnp.concatenate([
-        jnp.full((caps[o][0],), o, jnp.int32) for o in range(len(octaves))
+    row_off_cat = jnp.concatenate([
+        jnp.full((caps[o][0],), row_starts[o], jnp.int32)
+        for o in range(len(octaves))
     ])
     sigma_cat = cfg.init_sigma * 2.0 ** (fs_cat / cfg.scales)
     win = _desc_window_size(cfg)
-    ang, ok, raw = orient_desc_fused_multi_pallas(
-        mag_l, ori_l, s_cat, fr_cat, fc_cat, sigma_cat, valid_cat, oct_cat,
-        win=win, max_ori=max_ori, interpret=interp,
+    ang, ok, raw = orient_desc_fused_pallas(
+        mag_a, ori_a, s_cat, fr_cat, fc_cat, sigma_cat, valid_cat,
+        win=win, max_ori=max_ori, interpret=interp, row_off=row_off_cat,
     )
     desc = quantize_descriptors(raw.reshape(-1, 128))
 

@@ -25,7 +25,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE1 = 128          # query rows per grid step
+SUB = 128            # query rows per inner sub-tile (bounds the live dist tile)
+TILE1 = 1024         # query rows per grid step (8 sub-tiles -> (8,128) blocks;
+                     # Mosaic requires output block sublanes divisible by 8)
 MAX_N2 = 8192        # resident set-2 panel bound (128*N2*4 B <= 4 MiB VMEM)
 
 
@@ -34,21 +36,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(a_ref, bt_ref, nb_ref, v2_ref, d1_ref, d2_ref, i1_ref):
-    a = a_ref[:]                                   # (TILE1, 128) f32
     bt = bt_ref[:]                                 # (128, N2) f32, resident
     n2 = bt.shape[1]
-    ab = jnp.dot(a, bt, preferred_element_type=jnp.float32)   # MXU
-    na = jnp.sum(a * a, axis=1, keepdims=True)     # (TILE1, 1)
-    dist = na + nb_ref[:] - 2.0 * ab               # (TILE1, N2)
-    dist = jnp.where(v2_ref[:] > 0, jnp.maximum(dist, 0.0), jnp.inf)
-    d1 = jnp.min(dist, axis=1)                     # (TILE1,)
-    col = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
     big = jnp.int32(2**30)
-    i1 = jnp.min(jnp.where(dist == d1[:, None], col, big), axis=1)
-    d2 = jnp.min(jnp.where(col == i1[:, None], jnp.inf, dist), axis=1)
-    d1_ref[:] = d1.reshape(d1_ref.shape)
-    d2_ref[:] = d2.reshape(d2_ref.shape)
-    i1_ref[:] = i1.reshape(i1_ref.shape)
+    rows8 = lax.broadcasted_iota(jnp.int32, (TILE1 // SUB, SUB), 0)
+    d1o = jnp.zeros((TILE1 // SUB, SUB), jnp.float32)
+    d2o = jnp.zeros((TILE1 // SUB, SUB), jnp.float32)
+    i1o = jnp.zeros((TILE1 // SUB, SUB), jnp.int32)
+    for sub in range(TILE1 // SUB):
+        a = a_ref[sub * SUB : (sub + 1) * SUB, :]  # (SUB, 128)
+        ab = jnp.dot(a, bt, preferred_element_type=jnp.float32)   # MXU
+        na = jnp.sum(a * a, axis=1, keepdims=True)
+        dist = na + nb_ref[:] - 2.0 * ab           # (SUB, N2)
+        dist = jnp.where(v2_ref[:] > 0, jnp.maximum(dist, 0.0), jnp.inf)
+        d1 = jnp.min(dist, axis=1)                 # (SUB,)
+        col = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        i1 = jnp.min(jnp.where(dist == d1[:, None], col, big), axis=1)
+        d2 = jnp.min(jnp.where(col == i1[:, None], jnp.inf, dist), axis=1)
+        d1o = jnp.where(rows8 == sub, d1[None, :], d1o)
+        d2o = jnp.where(rows8 == sub, d2[None, :], d2o)
+        i1o = jnp.where(rows8 == sub, i1[None, :], i1o)
+    d1_ref[:] = d1o
+    d2_ref[:] = d2o
+    i1_ref[:] = i1o
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -75,7 +85,7 @@ def best2_l2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
         valid2.astype(jnp.float32))
 
     grid = n1p // TILE1
-    rows = TILE1 // 128
+    rows = TILE1 // SUB
     d1, d2, i1 = pl.pallas_call(
         _kernel,
         grid=(grid,),
@@ -86,14 +96,14 @@ def best2_l2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
             pl.BlockSpec((1, n2p), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((rows, 128), lambda i: (i, 0)),
-            pl.BlockSpec((rows, 128), lambda i: (i, 0)),
-            pl.BlockSpec((rows, 128), lambda i: (i, 0)),
+            pl.BlockSpec((rows, SUB), lambda i: (i, 0)),
+            pl.BlockSpec((rows, SUB), lambda i: (i, 0)),
+            pl.BlockSpec((rows, SUB), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n1p // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n1p // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n1p // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n1p // SUB, SUB), jnp.float32),
+            jax.ShapeDtypeStruct((n1p // SUB, SUB), jnp.float32),
+            jax.ShapeDtypeStruct((n1p // SUB, SUB), jnp.int32),
         ],
         interpret=interpret,
     )(a, bt, nb, v2)

@@ -50,6 +50,35 @@ def pad_grad_planes(mags: jnp.ndarray, oris: jnp.ndarray):
     return jnp.pad(mags, pad), jnp.pad(oris, pad)
 
 
+def build_grad_atlas(mag_list, ori_list):
+    """Stack every octave's (S, H_o, W_o) gradient planes into ONE padded
+    atlas (S, sum_o(H_o + 2 PAD_R), Wmax + 2 PAD_C).
+
+    Returns (mag_atlas, ori_atlas, row_starts): octave o's unpadded origin
+    sits at atlas row row_starts[o] + PAD_R.  Folding the octave offset into
+    the keypoint row coordinate lets the SINGLE-octave fused kernel serve
+    all octaves in one launch with zero in-kernel octave branching (the
+    earlier multi-ref kernel predicated 4 DMA descriptors x n_octaves per
+    keypoint).  Total copy bytes match the per-octave pad_grad_planes calls
+    it replaces.
+    """
+    wmax = max(m.shape[2] for m in mag_list)
+    mb, ob, row_starts = [], [], []
+    off = 0
+    for m, o in zip(mag_list, ori_list):
+        S, H, W = m.shape
+        pad = ((0, 0), (PAD_R, PAD_R), (PAD_C, wmax - W + PAD_C))
+        mb.append(jnp.pad(m, pad))
+        ob.append(jnp.pad(o, pad))
+        row_starts.append(off)
+        off += H + 2 * PAD_R
+    return (
+        jnp.concatenate(mb, axis=1),
+        jnp.concatenate(ob, axis=1),
+        row_starts,
+    )
+
+
 def _window_copy(plane_hbm, s_idx, rstart_p, cstart_p, rows_f, dest, sem):
     """Async copy descriptor for the aligned (rows_f, 256) block containing
     the window whose top-left (padded coords) is (rstart_p, cstart_p)."""
@@ -380,17 +409,21 @@ def _lane_scalar(row, idx, width=128):
     return jnp.sum(jnp.where(lane == idx, row, 0.0))
 
 
-def _kp_orient_desc(mw, ow, rs_k, cs_k, fr, fc, sig, C_ref, *, win, max_ori):
+def _kp_orient_desc(mw, ow, fro, fco, sig, C_ref, *, win, max_ori):
     """Shared per-keypoint compute of the fused kernels: orientation
     histogram over the window, in-kernel smoothing/peak/parabolic tail
     (circulant matmuls against C_ref), and one descriptor per accepted
-    orientation.  Returns (aux_row (1,128): lanes [0,max_ori) angles,
-    [8,8+max_ori) ok flags; drow (1, max_ori*128) raw descriptor)."""
+    orientation.  `fro`/`fco` are the keypoint's subpixel offsets from the
+    window origin (fr - rs, fc - cs) in OCTAVE-LOCAL coordinates — keeping
+    them separate from the (possibly atlas-offset) DMA row preserves exact
+    f32 coordinates when one launch serves every octave.  Returns (aux_row
+    (1,128): lanes [0,max_ori) angles, [8,8+max_ori) ok flags; drow
+    (1, max_ori*128) raw descriptor)."""
     DW = max_ori * 128
     rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
-        jnp.float32) + (rs_k.astype(jnp.float32) - fr)
+        jnp.float32) - fro
     cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
-        jnp.float32) + (cs_k.astype(jnp.float32) - fc)
+        jnp.float32) - fco
     lane_ok = lax.broadcasted_iota(jnp.int32, (win, 128), 1) < win
 
     d2 = rr * rr + cc * cc
@@ -500,7 +533,7 @@ def _kp_orient_desc(mw, ow, rs_k, cs_k, fr, fc, sig, C_ref, *, win, max_ori):
 
 
 
-def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fr_ref, fc_ref, sig_ref,
+def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fro_ref, fco_ref, sig_ref,
                   C_ref, mag_hbm, ori_hbm, aux_ref, desc_ref,
                   magw, oriw, sems, *, win: int, rows_f: int, max_ori: int):
     i = pl.program_id(0)
@@ -516,7 +549,7 @@ def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fr_ref, fc_ref, sig_ref,
             mw, ow = _wait_windows(s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm,
                                    magw, oriw, sems, j, k, rows_f, win)
             aux_row, drow = _kp_orient_desc(
-                mw, ow, rs_ref[k], cs_ref[k], fr_ref[k], fc_ref[k],
+                mw, ow, fro_ref[k], fco_ref[k],
                 sig_ref[k], C_ref, win=win, max_ori=max_ori,
             )
             aux_acc = _select_row(aux_acc, j, aux_row)
@@ -546,6 +579,7 @@ def orient_desc_fused_pallas(
     win: int,
     max_ori: int = 2,
     interpret: bool = False,
+    row_off=None,
 ):
     """Fused orientation assignment + raw descriptors.
 
@@ -554,6 +588,11 @@ def orient_desc_fused_pallas(
     o-th orientation.  `win` must be the DESC window size (covers the
     orientation radius).  Numerics match assign_orientations +
     compute_descriptors up to f32 summation-order ulps.
+
+    `row_off` (cap,) int32, optional: per-keypoint row offset added ONLY to
+    the DMA row — lets one launch serve every octave when mag_p/ori_p is a
+    build_grad_atlas stack (fr/fc stay octave-local, so subpixel coordinate
+    math is bit-identical to the per-octave launches).
     """
     cap = s_int.shape[0]
     # max_ori <= 8: the aux row packs angles in lanes [0,8) and ok flags in
@@ -585,6 +624,8 @@ def orient_desc_fused_pallas(
             pltpu.SemaphoreType.DMA((KP_BLOCK, 2)),
         ],
     )
+    rs = r0 - half
+    rs_dma = rs if row_off is None else rs + row_off.astype(jnp.int32)
     aux, desc = pl.pallas_call(
         functools.partial(
             _fused_kernel, win=win, rows_f=rows_f, max_ori=max_ori
@@ -597,11 +638,12 @@ def orient_desc_fused_pallas(
         interpret=interpret,
     )(
         (s_int - 1).astype(jnp.int32),
-        (r0 - half).astype(jnp.int32),
+        rs_dma.astype(jnp.int32),
         (c0 - half).astype(jnp.int32),
         valid.astype(jnp.int32),
-        fr.astype(jnp.float32),
-        fc.astype(jnp.float32),
+        # octave-local subpixel offsets from the window origin (exact f32)
+        (fr - rs).astype(jnp.float32),
+        (fc - (c0 - half)).astype(jnp.float32),
         sigma.astype(jnp.float32),
         jnp.asarray(_ori_tail_constants(max_ori)),
         mag_p,
@@ -611,147 +653,3 @@ def orient_desc_fused_pallas(
     ok = aux[:, 8 : 8 + max_ori] > 0.5
     return angles, ok, desc.reshape(cap, max_ori, 128)
 
-
-# ---------------------------------------------------------------------------
-# Multi-octave fused kernel: ONE launch for every octave's orientation +
-# descriptor work (slot octave ids select the gradient-plane refs under
-# predication, like ops.pallas.refine.refine_multi_pallas).
-# ---------------------------------------------------------------------------
-
-
-def _fused_multi_kernel(s_ref, rs_ref, cs_ref, valid_ref, oct_ref, fr_ref,
-                        fc_ref, sig_ref, C_ref, *refs,
-                        n_oct, win, rows_f, max_ori):
-    mag_refs = refs[:n_oct]
-    ori_refs = refs[n_oct : 2 * n_oct]
-    aux_ref, desc_ref = refs[2 * n_oct : 2 * n_oct + 2]
-    magw, oriw, sems = refs[2 * n_oct + 2 :]
-    i = pl.program_id(0)
-    DW = max_ori * 128
-
-    for j in range(KP_BLOCK):
-        k = i * KP_BLOCK + j
-
-        @pl.when(valid_ref[k] > 0)
-        def _(j=j, k=k):
-            for oo in range(n_oct):
-
-                @pl.when(oct_ref[k] == oo)
-                def _(j=j, k=k, oo=oo):
-                    _window_copy(mag_refs[oo], s_ref[k], rs_ref[k] + PAD_R,
-                                 cs_ref[k] + PAD_C, rows_f, magw.at[j],
-                                 sems.at[j, 0]).start()
-                    _window_copy(ori_refs[oo], s_ref[k], rs_ref[k] + PAD_R,
-                                 cs_ref[k] + PAD_C, rows_f, oriw.at[j],
-                                 sems.at[j, 1]).start()
-
-    def body(j, acc):
-        k = i * KP_BLOCK + j
-
-        def compute(acc):
-            aux_acc, desc_acc = acc
-            rs = rs_ref[k] + PAD_R
-            cs = cs_ref[k] + PAD_C
-            for oo in range(n_oct):
-
-                @pl.when(oct_ref[k] == oo)
-                def _(j=j, k=k, oo=oo):
-                    _window_copy(mag_refs[oo], s_ref[k], rs, cs, rows_f,
-                                 magw.at[j], sems.at[j, 0]).wait()
-                    _window_copy(ori_refs[oo], s_ref[k], rs, cs, rows_f,
-                                 oriw.at[j], sems.at[j, 1]).wait()
-            mw = _align_window(magw[j], rs, cs, win)
-            ow = _align_window(oriw[j], rs, cs, win)
-            aux_row, drow = _kp_orient_desc(
-                mw, ow, rs_ref[k], cs_ref[k], fr_ref[k], fc_ref[k],
-                sig_ref[k], C_ref, win=win, max_ori=max_ori,
-            )
-            aux_acc = _select_row(aux_acc, j, aux_row)
-            desc_acc = _select_row(desc_acc, j, drow)
-            return (aux_acc, desc_acc)
-
-        return lax.cond(valid_ref[k] > 0, compute, lambda a: a, acc)
-
-    aux0 = jnp.zeros((KP_BLOCK, 128), jnp.float32)
-    desc0 = jnp.zeros((KP_BLOCK, DW), jnp.float32)
-    aux, desc = lax.fori_loop(0, KP_BLOCK, body, (aux0, desc0))
-    aux_ref[:] = aux
-    desc_ref[:] = desc
-
-
-@functools.partial(
-    jax.jit, static_argnames=("win", "max_ori", "interpret")
-)
-def orient_desc_fused_multi_pallas(
-    mag_list,
-    ori_list,
-    s_int: jnp.ndarray,
-    fr: jnp.ndarray,
-    fc: jnp.ndarray,
-    sigma: jnp.ndarray,
-    valid: jnp.ndarray,
-    oct_id: jnp.ndarray,
-    win: int,
-    max_ori: int = 2,
-    interpret: bool = False,
-):
-    """Fused orientation + descriptors for ALL octaves in one launch.
-
-    mag_list/ori_list: per-octave pad_grad_planes outputs; oct_id selects
-    the refs per slot.  Same returns as orient_desc_fused_pallas."""
-    cap = s_int.shape[0]
-    n_oct = len(mag_list)
-    assert cap % KP_BLOCK == 0 and win <= 128
-    rows_f = win + 8
-    half = win // 2
-    r0 = jnp.round(fr).astype(jnp.int32)
-    c0 = jnp.round(fc).astype(jnp.int32)
-    DW = max_ori * 128
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
-        grid=(cap // KP_BLOCK,),
-        in_specs=[
-            pl.BlockSpec((3, 128, 128), lambda i, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec(memory_space=pl.ANY) for _ in range(2 * n_oct)
-        ],
-        out_specs=(
-            pl.BlockSpec((KP_BLOCK, 128), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KP_BLOCK, DW), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((KP_BLOCK, rows_f, 256), jnp.float32),
-            pltpu.VMEM((KP_BLOCK, rows_f, 256), jnp.float32),
-            pltpu.SemaphoreType.DMA((KP_BLOCK, 2)),
-        ],
-    )
-    aux, desc = pl.pallas_call(
-        functools.partial(
-            _fused_multi_kernel, n_oct=n_oct, win=win, rows_f=rows_f,
-            max_ori=max_ori,
-        ),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((cap, 128), jnp.float32),
-            jax.ShapeDtypeStruct((cap, DW), jnp.float32),
-        ),
-        interpret=interpret,
-    )(
-        (s_int - 1).astype(jnp.int32),
-        (r0 - half).astype(jnp.int32),
-        (c0 - half).astype(jnp.int32),
-        valid.astype(jnp.int32),
-        oct_id.astype(jnp.int32),
-        fr.astype(jnp.float32),
-        fc.astype(jnp.float32),
-        sigma.astype(jnp.float32),
-        jnp.asarray(_ori_tail_constants(max_ori)),
-        *mag_list,
-        *ori_list,
-    )
-    angles = aux[:, :max_ori]
-    ok = aux[:, 8 : 8 + max_ori] > 0.5
-    return angles, ok, desc.reshape(cap, max_ori, 128)

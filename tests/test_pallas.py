@@ -255,10 +255,10 @@ def test_kp_multi_launch_variants_agree(scene160):
 
     from conftest import match_keypoint_sets
 
-    def run(multi):
+    def run(multi, grad="xla"):
         cfg = SiftConfig(kp_per_octave_cap=256, kp_backend="pallas",
                          conv_backend="xla", pallas_interpret=True,
-                         kp_multi_launch=multi)
+                         kp_multi_launch=multi, grad_backend=grad)
         buf = detect_and_describe(jnp.asarray(scene160), cfg)
         m = np.asarray(buf.valid)
         out = np.zeros(int(m.sum()), dtype=KP_DTYPE)
@@ -271,4 +271,52 @@ def test_kp_multi_launch_variants_agree(scene160):
     assert len(a) == len(b) > 10
     hits, desc_l1 = match_keypoint_sets(a, b)
     assert hits == len(a)
+    # same XLA gradients feed both strategies -> bit-identical descriptors
     assert desc_l1 == 0.0
+    # the fused gradient+pad kernel differs from the XLA gradients by f32
+    # fusion ulps only; descriptors must still match at quantization level
+    c = run(True, grad="pallas")
+    assert len(c) == len(a)
+    hits, desc_l1 = match_keypoint_sets(a, c)
+    assert hits == len(a)
+    assert desc_l1 < 0.05
+
+
+def test_grad_atlas_kernel_parity(scene160):
+    """grad_atlas_pallas (interpret) == gradient_planes + build_grad_atlas
+    content-wise (up to f32 fusion ulps) in every octave's padded region,
+    zeros elsewhere."""
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.ops.orient_desc import gradient_planes
+    from sift_pyocl_tpu.ops.pallas.gradpad import atlas_geometry, grad_atlas_pallas
+    from sift_pyocl_tpu.ops.pallas.window import PAD_C, PAD_R
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
+
+    cfg = SiftConfig(conv_backend="xla")
+    octs = build_scale_space_jax(jnp.asarray(scene160), cfg)
+    blur_list = [b for b, _ in octs]
+    mag_a, ori_a, row_starts = grad_atlas_pallas(
+        blur_list, cfg.scales, interpret=True)
+    mag_np = np.asarray(mag_a)
+    ori_np = np.asarray(ori_a)
+    covered = np.zeros(mag_np.shape[1], dtype=bool)
+    for o, b in enumerate(blur_list):
+        mags, oris = gradient_planes(b, cfg)
+        S, H, W = mags.shape
+        r0 = row_starts[o] + PAD_R
+        # XLA fuses the two formulations differently (fma order), so allow
+        # 1-2 f32 ulps on mag and ori
+        np.testing.assert_allclose(
+            mag_np[:, r0 : r0 + H, PAD_C : PAD_C + W], np.asarray(mags),
+            rtol=3e-7, atol=3e-6)
+        np.testing.assert_allclose(
+            ori_np[:, r0 : r0 + H, PAD_C : PAD_C + W], np.asarray(oris),
+            rtol=3e-7, atol=3e-6)
+        # the block outside the image must be exactly zero (the window
+        # kernels rely on zero magnitude out-of-image)
+        blk = mag_np[:, row_starts[o] : r0 + H + PAD_R].copy()
+        blk[:, PAD_R : PAD_R + H, PAD_C : PAD_C + W] = 0.0
+        assert np.abs(blk).max() == 0.0
+        covered[row_starts[o] : r0 + H + PAD_R] = True
+    # inter-block slack rows (TR rounding) are zero too
+    assert np.abs(mag_np[:, ~covered]).max() == 0.0

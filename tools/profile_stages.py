@@ -75,6 +75,26 @@ def main():
             acc += [mp.sum(), op.sum()]
         return {"s": acc}
 
+    def st_grad_atlas_xla(c):
+        from sift_pyocl_tpu.ops.pallas.window import build_grad_atlas
+        octs = build_scale_space_jax(c, cfg)
+        acc = [d.sum() for _, d in octs]
+        ml, ol = [], []
+        for blurs, _ in octs:
+            m, o = gradient_planes(blurs, cfg)
+            ml.append(m)
+            ol.append(o)
+        ma, oa, _rs = build_grad_atlas(ml, ol)
+        return {"s": acc + [ma.sum(), oa.sum()]}
+
+    def st_grad_atlas(c):
+        from sift_pyocl_tpu.ops.pallas.gradpad import grad_atlas_pallas
+        octs = build_scale_space_jax(c, cfg)
+        acc = [d.sum() for _, d in octs]
+        ma, oa, _rs = grad_atlas_pallas(
+            [b for b, _ in octs], cfg.scales, interpret=cfg.pallas_interpret)
+        return {"s": acc + [ma.sum(), oa.sum()]}
+
     def st_detect(c):
         octs = build_scale_space_jax(c, cfg)
         acc = [b.sum() for b, _ in octs]
@@ -86,6 +106,13 @@ def main():
 
     def st_sift(c):
         b = detect_and_describe(c, cfg)
+        return {"s": [b.x.sum(), b.angle.sum(),
+                      b.desc.astype(jnp.float32).sum(), b.valid.sum()]}
+
+    cfg_gx = SiftConfig(grad_backend="xla")
+
+    def st_sift_gradxla(c):
+        b = detect_and_describe(c, cfg_gx)
         return {"s": [b.x.sum(), b.angle.sum(),
                       b.desc.astype(jnp.float32).sum(), b.valid.sum()]}
 
@@ -140,9 +167,10 @@ def main():
         return {"s": [p2.ts.sum(), cost, lam2]}
 
     stages = {
-        "pyramid": st_pyramid, "grad_pad": st_grad_pad, "detect": st_detect,
-        "sift": st_sift, "vo": st_vo, "match": st_match, "pnp": st_pnp,
-        "ba": st_ba,
+        "pyramid": st_pyramid, "grad_pad": st_grad_pad,
+        "grad_atlas_xla": st_grad_atlas_xla, "grad_atlas": st_grad_atlas,
+        "detect": st_detect, "sift": st_sift, "sift_gradxla": st_sift_gradxla,
+        "vo": st_vo, "match": st_match, "pnp": st_pnp, "ba": st_ba,
     }
     want = args.stages.split(",") if args.stages else list(stages)
     out = {}
