@@ -78,6 +78,52 @@ def test_detect_and_describe_mosaic_matches_xla(scene160):
     assert desc_l1 < 0.2
 
 
+def test_best2_mosaic_matches_xla():
+    """The fused matcher kernel compiled on the chip == the XLA reduction:
+    identical argmins, distances to f32 matmul tolerance."""
+    from sift_pyocl_tpu.ops.match import _best2_l2
+    from sift_pyocl_tpu.ops.pallas.matchk import best2_l2_pallas
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.integers(0, 255, (1500, 128)), jnp.uint8)
+    b = jnp.asarray(rng.integers(0, 255, (900, 128)), jnp.uint8)
+    v2 = jnp.asarray(rng.uniform(size=900) < 0.9)
+    x1, x2, xi = _best2_l2(a, b, v2)
+    p1, p2, pi = best2_l2_pallas(a, b, v2)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(x1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(x2), rtol=1e-5)
+
+
+def test_grad_atlas_mosaic_matches_xla(scene160):
+    """grad_atlas_pallas compiled on the chip == XLA gradients in every
+    octave's region (poly atan2 tolerance), zeros outside."""
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.ops.orient_desc import gradient_planes
+    from sift_pyocl_tpu.ops.pallas.gradpad import grad_atlas_pallas
+    from sift_pyocl_tpu.ops.pallas.window import PAD_C, PAD_R
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
+
+    cfg = SiftConfig(conv_backend="xla")
+    octs = build_scale_space_jax(jnp.asarray(scene160), cfg)
+    blur_list = [b for b, _ in octs]
+    mag_a, ori_a, row_starts = grad_atlas_pallas(blur_list, cfg.scales)
+    mag_np, ori_np = np.asarray(mag_a), np.asarray(ori_a)
+    for o, b in enumerate(blur_list):
+        mags, oris = gradient_planes(b, cfg)
+        S, H, W = mags.shape
+        r0 = row_starts[o] + PAD_R
+        np.testing.assert_allclose(
+            mag_np[:, r0 : r0 + H, PAD_C : PAD_C + W], np.asarray(mags),
+            rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(
+            ori_np[:, r0 : r0 + H, PAD_C : PAD_C + W], np.asarray(oris),
+            rtol=1e-5, atol=1e-5)
+        blk = mag_np[:, row_starts[o] : r0 + H + PAD_R].copy()
+        blk[:, PAD_R : PAD_R + H, PAD_C : PAD_C + W] = 0.0
+        assert np.abs(blk).max() == 0.0
+
+
 def test_vo_step_mosaic_runs():
     """The fused VO step (flagship model) compiles and runs Mosaic on the
     chip: finite outputs, tracking healthy on a translating scene."""
