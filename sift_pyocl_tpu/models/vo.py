@@ -62,6 +62,11 @@ class VOConfig(NamedTuple):
     min_track_matches: int = 12   # below this the frame counts as LOST
     reloc_ratio_sq: float = 0.85  # looser re-localization gate when lost
     max_rms_px: float = 12.0      # PnP residual gate on pose acceptance
+    ba_pt_onehot: bool = True     # point reductions in BA as one-hot matmuls
+                                  # (MXU) instead of TPU-serialized scatters
+    ba_solver: str = "dense"      # "dense" = exact (6W,6W) Schur solve (the
+                                  # window is tiny; beats CG in cost AND step
+                                  # quality) | "cg" = matrix-free CG
 
 
 class VOState(NamedTuple):
@@ -271,9 +276,15 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
         w=obs_w.reshape(-1) * Xvalid.reshape(P)[obs_pt.reshape(-1)],
     )
     free = jnp.arange(W) > 0
+    # the window layout stores obs in per-frame blocks -> cam_blocked always
+    # holds here; both flags turn TPU-serialized scatter-adds into
+    # reshape-sums / MXU matmuls
+    dense = vo.ba_solver == "dense"
     params2, lam2, cost, _ = lm_iteration(
         params, obs, K, state.lam, free,
         huber_px=vo.huber_px, cg_iters=vo.cg_iters, n_points=P,
+        cam_blocked=True, pt_onehot=vo.ba_pt_onehot or dense,
+        dense_schur=dense,
     )
 
     rolled = VOState(

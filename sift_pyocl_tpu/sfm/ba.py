@@ -58,6 +58,66 @@ def _psum(x, axis_name):
     return lax.psum(x, axis_name) if axis_name is not None else x
 
 
+# --- reduction helpers -----------------------------------------------------
+# XLA lowers segment_sum to scatter-add, which TPU serializes for duplicate
+# indices — at VO shapes (M=4k obs, C=8 cams, P=2k points) the scatters, not
+# the FLOPs, dominate the BA iteration.  Two structure-exploiting paths:
+#   * cam_blocked: the VO window stores observations in per-frame BLOCKS
+#     (obs.cam == repeat(arange(C), M//C)), so camera reductions are a
+#     reshape + sum and camera gathers a broadcast — no scatter, no gather.
+#   * pt_onehot: point reductions/gathers become matmuls against a one-hot
+#     (P, M) matrix built ONCE per LM iteration (MXU work + one 33 MB read
+#     per CG matvec instead of a serialized scatter).
+
+
+def _seg_cam(vals, cam, n_cams, blocked):
+    if blocked:
+        return vals.reshape((n_cams, -1) + vals.shape[1:]).sum(axis=1)
+    return jax.ops.segment_sum(vals, cam, num_segments=n_cams)
+
+
+def _take_cam(x, cam, blocked):
+    if blocked:
+        m = cam.shape[0]
+        reps = m // x.shape[0]
+        return jnp.broadcast_to(
+            x[:, None], (x.shape[0], reps) + x.shape[1:]
+        ).reshape((m,) + x.shape[1:])
+    return x[cam]
+
+
+def _pt_onehot_matrix(pt, n_points):
+    """(P, M) f32 one-hot of obs.pt (pt < 0 rows are all-zero, matching
+    segment_sum's drop of negative ids)."""
+    return (
+        pt[None, :] == jnp.arange(n_points, dtype=pt.dtype)[:, None]
+    ).astype(jnp.float32)
+
+
+def _seg_pt(vals, pt, n_points, G):
+    if G is not None:
+        flat = vals.reshape(vals.shape[0], -1)
+        out = lax.dot_general(
+            G, flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape((n_points,) + vals.shape[1:])
+    return jax.ops.segment_sum(vals, pt, num_segments=n_points)
+
+
+def _take_pt(y, pt, G):
+    """y[pt] as G^T @ y when G is given (pt < 0 rows read zero — callers
+    always multiply these rows by zero-weight W blocks)."""
+    if G is not None:
+        flat = y.reshape(y.shape[0], -1)
+        out = lax.dot_general(
+            G, flat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape((pt.shape[0],) + y.shape[1:])
+    return y[pt]
+
+
 def residuals(params: BAParams, obs: BAObs, K) -> jnp.ndarray:
     """(M,2) reprojection residuals."""
     R = params.Rs[obs.cam]
@@ -129,6 +189,7 @@ class _System(NamedTuple):
     W: jnp.ndarray      # (M,6,3) cross blocks (local)
     g_c: jnp.ndarray    # (C,6)   camera gradient (psum'd)
     g_p: jnp.ndarray    # (P,3)   point gradient (local)
+    G: Optional[jnp.ndarray]  # (P,M) one-hot of obs.pt when pt_onehot
 
 
 def build_system(
@@ -139,6 +200,8 @@ def build_system(
     huber_px: float,
     n_points: int,
     axis_name=None,
+    cam_blocked: bool = False,
+    pt_onehot: bool = False,
 ) -> Tuple[_System, jnp.ndarray]:
     """Weighted, damped normal-equation blocks; returns (system, robust cost)."""
     r = residuals(params, obs, K)
@@ -146,6 +209,7 @@ def build_system(
     cost = robust_cost(r, obs.w, huber_px, axis_name)
     Jc, Jp = _jac_blocks(params, obs, K)
     n_cams = params.Rs.shape[0]
+    G = _pt_onehot_matrix(obs.pt, n_points) if pt_onehot else None
 
     JcT = jnp.swapaxes(Jc, 1, 2)  # (M,6,2)
     JpT = jnp.swapaxes(Jp, 1, 2)  # (M,3,2)
@@ -156,30 +220,32 @@ def build_system(
     gcm = -(wq[:, None] * jnp.einsum("mij,mj->mi", JcT, r))  # (M,6)
     gpm = -(wq[:, None] * jnp.einsum("mij,mj->mi", JpT, r))  # (M,3)
 
-    U = jax.ops.segment_sum(Um, obs.cam, num_segments=n_cams)
-    g_c = jax.ops.segment_sum(gcm, obs.cam, num_segments=n_cams)
+    U = _seg_cam(Um, obs.cam, n_cams, cam_blocked)
+    g_c = _seg_cam(gcm, obs.cam, n_cams, cam_blocked)
     U = _psum(U, axis_name)
     g_c = _psum(g_c, axis_name)
-    V = jax.ops.segment_sum(Vm, obs.pt, num_segments=n_points)
-    g_p = jax.ops.segment_sum(gpm, obs.pt, num_segments=n_points)
+    V = _seg_pt(Vm, obs.pt, n_points, G)
+    g_p = _seg_pt(gpm, obs.pt, n_points, G)
 
     eye6 = jnp.eye(6)
     eye3 = jnp.eye(3)
     # Marquardt damping: lam * (diag + small identity floor)
     U = U + lam * (eye6 * jnp.diagonal(U, axis1=1, axis2=2)[:, :, None] * eye6 + 1e-8 * eye6)
     V = V + lam * (eye3 * jnp.diagonal(V, axis1=1, axis2=2)[:, :, None] * eye3 + 1e-8 * eye3)
-    return _System(U, _inv3(V), W, g_c, g_p), cost
+    return _System(U, _inv3(V), W, g_c, g_p, G), cost
 
 
 def _schur_matvec(sys: _System, obs: BAObs, x: jnp.ndarray, free: jnp.ndarray,
-                  n_points: int, axis_name=None) -> jnp.ndarray:
+                  n_points: int, axis_name=None,
+                  cam_blocked: bool = False) -> jnp.ndarray:
     """Apply S = U - W V^-1 W^T to x (C,6) without assembling S."""
     x = x * free[:, None]
-    u = jnp.einsum("mij,mi->mj", sys.W, x[obs.cam])          # (M,3) = W^T x
-    q = jax.ops.segment_sum(u, obs.pt, num_segments=n_points)  # (P,3)
+    xg = _take_cam(x, obs.cam, cam_blocked)
+    u = jnp.einsum("mij,mi->mj", sys.W, xg)                   # (M,3) = W^T x
+    q = _seg_pt(u, obs.pt, n_points, sys.G)                   # (P,3)
     y = jnp.einsum("pij,pj->pi", sys.Vinv, q)                 # (P,3)
-    z = jnp.einsum("mij,mj->mi", sys.W, y[obs.pt])            # (M,6)
-    acc = jax.ops.segment_sum(z, obs.cam, num_segments=x.shape[0])
+    z = jnp.einsum("mij,mj->mi", sys.W, _take_pt(y, obs.pt, sys.G))  # (M,6)
+    acc = _seg_cam(z, obs.cam, x.shape[0], cam_blocked)
     acc = _psum(acc, axis_name)
     Ux = jnp.einsum("cij,cj->ci", sys.U, x)
     return (Ux - acc) * free[:, None]
@@ -208,22 +274,59 @@ def _cg(matvec, b, iters: int):
     return x
 
 
+def solve_step_dense(
+    sys: _System, obs: BAObs, free: jnp.ndarray, n_points: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact Schur solve for small camera counts (the VO window: 6C <= ~100).
+
+    Assembles S = U - W V^-1 W^T explicitly as a (6C, 6C) matrix and solves
+    it directly — replaces cg_iters matrix-free matvecs (each a full pass
+    over the one-hot G) with ONE pass to build the per-point camera blocks
+    A[p,c] = sum_{m: pt=p, cam=c} W_m and a tiny dense solve.  Requires
+    cam_blocked layout and pt_onehot=True (sys.G present).
+    """
+    C = sys.U.shape[0]
+    M = obs.pt.shape[0]
+    obs_f = M // C
+    hp = jax.lax.Precision.HIGHEST
+    Wb = sys.W.reshape(C, obs_f, 6, 3)
+    Gb = sys.G.reshape(n_points, C, obs_f)
+    # A[p,c] (6,3): camera-c cross block restricted to point p
+    A = jnp.einsum("pcf,cfij->pcij", Gb, Wb, precision=hp)
+    T = jnp.einsum("pcij,pjk->pcik", A, sys.Vinv, precision=hp)  # A V^-1
+    S2 = jnp.einsum("pcik,pdjk->cidj", T, A, precision=hp)  # (C,6,C,6)
+    # U on the block diagonal, minus the point-coupling blocks (no scatter)
+    Ubd = jnp.einsum("cij,cd->cidj", sys.U, jnp.eye(C, dtype=sys.U.dtype))
+    S = (Ubd - S2).reshape(C * 6, C * 6)
+    b = sys.g_c - jnp.einsum("pcij,pj->ci", T, sys.g_p, precision=hp)
+    # gauge fixing: zero fixed-camera rows/cols, identity on their diagonal
+    m6 = jnp.repeat(free.astype(S.dtype), 6)
+    S = S * m6[:, None] * m6[None, :] + jnp.diag(1.0 - m6)
+    b = b.reshape(-1) * m6
+    dc = jnp.linalg.solve(S, b).reshape(C, 6)
+    # back-substitute points: dp = V^-1 (g_p - W^T dc)
+    q = jnp.einsum("pcij,ci->pj", A, dc, precision=hp)
+    dp = jnp.einsum("pij,pj->pi", sys.Vinv, sys.g_p - q)
+    return dc, dp
+
+
 def solve_step(
     sys: _System, obs: BAObs, free: jnp.ndarray, n_points: int,
-    cg_iters: int = 30, axis_name=None,
+    cg_iters: int = 30, axis_name=None, cam_blocked: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One damped step: camera updates (C,6) and point updates (P,3)."""
     # Schur RHS: b = g_c - W V^-1 g_p   (camera side, reduced over shards)
     y = jnp.einsum("pij,pj->pi", sys.Vinv, sys.g_p)           # (P,3)
-    z = jnp.einsum("mij,mj->mi", sys.W, y[obs.pt])            # (M,6)
-    red = jax.ops.segment_sum(z, obs.cam, num_segments=sys.g_c.shape[0])
+    z = jnp.einsum("mij,mj->mi", sys.W, _take_pt(y, obs.pt, sys.G))  # (M,6)
+    red = _seg_cam(z, obs.cam, sys.g_c.shape[0], cam_blocked)
     red = _psum(red, axis_name)
     b = (sys.g_c - red) * free[:, None]
-    mv = lambda x: _schur_matvec(sys, obs, x, free, n_points, axis_name)
+    mv = lambda x: _schur_matvec(sys, obs, x, free, n_points, axis_name,
+                                 cam_blocked)
     dc = _cg(mv, b, cg_iters)
     # back-substitute points: dp = V^-1 (g_p - W^T dc)
-    u = jnp.einsum("mij,mi->mj", sys.W, dc[obs.cam])          # (M,3)
-    q = jax.ops.segment_sum(u, obs.pt, num_segments=n_points)
+    u = jnp.einsum("mij,mi->mj", sys.W, _take_cam(dc, obs.cam, cam_blocked))
+    q = _seg_pt(u, obs.pt, n_points, sys.G)
     dp = jnp.einsum("pij,pj->pi", sys.Vinv, sys.g_p - q)
     return dc, dp
 
@@ -235,7 +338,8 @@ def apply_step(params: BAParams, dc: jnp.ndarray, dp: jnp.ndarray) -> BAParams:
 
 @partial(
     jax.jit,
-    static_argnames=("huber_px", "cg_iters", "n_points", "axis_name"),
+    static_argnames=("huber_px", "cg_iters", "n_points", "axis_name",
+                     "cam_blocked", "pt_onehot", "dense_schur"),
 )
 def lm_iteration(
     params: BAParams,
@@ -247,11 +351,31 @@ def lm_iteration(
     cg_iters: int = 30,
     n_points: int = 0,
     axis_name=None,
+    cam_blocked: bool = False,
+    pt_onehot: bool = False,
+    dense_schur: bool = False,
 ):
-    """One accept/reject LM iteration.  Returns (params, lam, cost, accepted)."""
+    """One accept/reject LM iteration.  Returns (params, lam, cost, accepted).
+
+    cam_blocked: observations are stored in per-camera blocks (obs.cam ==
+    repeat(arange(C), M//C), the VO window layout) — camera reductions
+    become reshape+sum instead of TPU-serialized scatter-adds.
+    pt_onehot: point reductions/gathers via one-hot matmuls (MXU) instead
+    of scatter/gather — wins when M*P is small enough for the (P,M) one-hot
+    to be cheap (VO shapes), loses at large SfM sizes.
+    dense_schur: assemble and solve the (6C,6C) reduced camera system
+    exactly instead of running CG — strictly better steps AND cheaper when
+    C is small (requires cam_blocked and pt_onehot)."""
+    if dense_schur:
+        assert cam_blocked and pt_onehot, "dense_schur needs both layouts"
     nP = n_points or params.X.shape[0]
-    sys, cost = build_system(params, obs, K, lam, huber_px, nP, axis_name)
-    dc, dp = solve_step(sys, obs, free, nP, cg_iters, axis_name)
+    sys, cost = build_system(params, obs, K, lam, huber_px, nP, axis_name,
+                             cam_blocked, pt_onehot)
+    if dense_schur:
+        dc, dp = solve_step_dense(sys, obs, free, nP)
+    else:
+        dc, dp = solve_step(sys, obs, free, nP, cg_iters, axis_name,
+                            cam_blocked)
     cand = apply_step(params, dc, dp)
     r_new = residuals(cand, obs, K)
     new_cost = robust_cost(r_new, obs.w, huber_px, axis_name)

@@ -43,6 +43,52 @@ def test_ba_converges(problem):
     assert ate < 0.02
 
 
+def test_lm_blocked_onehot_matches_default():
+    """cam_blocked + pt_onehot reductions == scatter-based lm_iteration on a
+    VO-layout problem (obs stored in per-camera blocks, some zero-weight
+    padding and clamped point ids)."""
+    from sift_pyocl_tpu.sfm.ba import lm_iteration
+
+    rng = np.random.default_rng(3)
+    C, PN, OBS_F = 4, 32, 48
+    P, M = C * PN, C * OBS_F
+    K = jnp.asarray([[500.0, 0, 200], [0, 500.0, 150], [0, 0, 1]], jnp.float32)
+    Rs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (C, 3, 3)).copy()
+    ts = jnp.asarray(rng.normal(size=(C, 3)) * 0.1, jnp.float32)
+    X = jnp.asarray(rng.normal(size=(P, 3)) * 2 + [0, 0, 8], jnp.float32)
+    cam = jnp.repeat(jnp.arange(C, dtype=jnp.int32), OBS_F)
+    pt = jnp.asarray(rng.integers(0, P, M), jnp.int32)
+    uv = jnp.asarray(rng.uniform(0, 400, (M, 2)), jnp.float32)
+    w = jnp.asarray((rng.uniform(size=M) < 0.8), jnp.float32)
+    params = BAParams(Rs, ts, X)
+    obs = BAObs(uv=uv, cam=cam, pt=pt, w=w)
+    free = jnp.arange(C) > 0
+    kw = dict(huber_px=3.0, cg_iters=6, n_points=P)
+    p0, lam0, cost0, acc0 = lm_iteration(
+        params, obs, K, jnp.float32(1e-3), free, **kw)
+    p1, lam1, cost1, acc1 = lm_iteration(
+        params, obs, K, jnp.float32(1e-3), free,
+        cam_blocked=True, pt_onehot=True, **kw)
+    np.testing.assert_allclose(float(cost1), float(cost0), rtol=1e-6)
+    assert bool(acc1) == bool(acc0)
+    for a, b in zip(p1, p0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+    # dense exact Schur solve == converged CG (many iterations) step
+    p_cg, _, _, _ = lm_iteration(
+        params, obs, K, jnp.float32(1e-3), free,
+        cam_blocked=True, pt_onehot=True,
+        huber_px=3.0, cg_iters=60, n_points=P)
+    p_dn, _, cost_dn, acc_dn = lm_iteration(
+        params, obs, K, jnp.float32(1e-3), free,
+        cam_blocked=True, pt_onehot=True, dense_schur=True,
+        huber_px=3.0, cg_iters=1, n_points=P)
+    np.testing.assert_allclose(float(cost_dn), float(cost0), rtol=1e-6)
+    for a, b in zip(p_dn, p_cg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_partition_roundtrip(problem):
     K, gt, start, obs = problem
     sp = partition_problem(BAParams(*map(jnp.asarray, start)),

@@ -104,6 +104,30 @@ def main():
         acc += [k.fr.sum() + k.valid.sum() for k, _ in det]
         return {"s": acc}
 
+    def st_mask(c):
+        from sift_pyocl_tpu.ops.detect import extrema_mask
+        octs = build_scale_space_jax(c, cfg)
+        acc = [b.sum() for b, _ in octs]
+        acc += [extrema_mask(d, cfg, o).sum() for o, (_, d) in enumerate(octs)]
+        return {"s": acc}
+
+    def st_compact(c):
+        from sift_pyocl_tpu.ops.detect import extrema_mask
+        from sift_pyocl_tpu.ops.pallas.compact import compact_masks_multi
+        octs = build_scale_space_jax(c, cfg)
+        acc = [b.sum() for b, _ in octs]
+        masks = [extrema_mask(d, cfg, o) for o, (_, d) in enumerate(octs)]
+        idx, wr, tot = compact_masks_multi(
+            masks, [cp for cp, _ in caps], interpret=cfg.pallas_interpret)
+        return {"s": acc + [idx.sum(), wr.sum(), tot.sum()]}
+
+    def st_dogatlas(c):
+        from sift_pyocl_tpu.ops.pallas.refine import build_dog_atlas
+        octs = build_scale_space_jax(c, cfg)
+        acc = [b.sum() for b, _ in octs]
+        atlas, _rs = build_dog_atlas([d for _, d in octs])
+        return {"s": acc + [atlas.sum()]}
+
     def st_sift(c):
         b = detect_and_describe(c, cfg)
         return {"s": [b.x.sum(), b.angle.sum(),
@@ -166,11 +190,41 @@ def main():
             huber_px=vo.huber_px, cg_iters=vo.cg_iters, n_points=P)
         return {"s": [p2.ts.sum(), cost, lam2]}
 
+    def st_ba_opt(c):
+        params = BAParams(Rs, ts, Xb + c[0, 0] * 1e-9)
+        obs = BAObs(uv=obs_uv, cam=obs_cam, pt=obs_pt, w=obs_w)
+        p2, lam2, cost, _ = lm_iteration(
+            params, obs, K, jnp.float32(1e-3), free,
+            huber_px=vo.huber_px, cg_iters=vo.cg_iters, n_points=P,
+            cam_blocked=True, pt_onehot=True)
+        return {"s": [p2.ts.sum(), cost, lam2]}
+
+    def st_ba_dense(c):
+        params = BAParams(Rs, ts, Xb + c[0, 0] * 1e-9)
+        obs = BAObs(uv=obs_uv, cam=obs_cam, pt=obs_pt, w=obs_w)
+        p2, lam2, cost, _ = lm_iteration(
+            params, obs, K, jnp.float32(1e-3), free,
+            huber_px=vo.huber_px, cg_iters=1, n_points=P,
+            cam_blocked=True, pt_onehot=True, dense_schur=True)
+        return {"s": [p2.ts.sum(), cost, lam2]}
+
+    def st_ba_blk(c):
+        params = BAParams(Rs, ts, Xb + c[0, 0] * 1e-9)
+        obs = BAObs(uv=obs_uv, cam=obs_cam, pt=obs_pt, w=obs_w)
+        p2, lam2, cost, _ = lm_iteration(
+            params, obs, K, jnp.float32(1e-3), free,
+            huber_px=vo.huber_px, cg_iters=vo.cg_iters, n_points=P,
+            cam_blocked=True, pt_onehot=False)
+        return {"s": [p2.ts.sum(), cost, lam2]}
+
     stages = {
         "pyramid": st_pyramid, "grad_pad": st_grad_pad,
         "grad_atlas_xla": st_grad_atlas_xla, "grad_atlas": st_grad_atlas,
-        "detect": st_detect, "sift": st_sift, "sift_gradxla": st_sift_gradxla,
+        "detect": st_detect, "mask": st_mask, "compact": st_compact,
+        "dogatlas": st_dogatlas,
+        "sift": st_sift, "sift_gradxla": st_sift_gradxla,
         "vo": st_vo, "match": st_match, "pnp": st_pnp, "ba": st_ba,
+        "ba_opt": st_ba_opt, "ba_blk": st_ba_blk, "ba_dense": st_ba_dense,
     }
     want = args.stages.split(",") if args.stages else list(stages)
     out = {}
