@@ -67,6 +67,9 @@ class VOConfig(NamedTuple):
     ba_solver: str = "dense"      # "dense" = exact (6W,6W) Schur solve (the
                                   # window is tiny; beats CG in cost AND step
                                   # quality) | "cg" = matrix-free CG
+    ba_iters: int = 1             # LM iterations per frame (dense solves are
+                                  # cheap enough that 2 is affordable when
+                                  # drift matters more than throughput)
 
 
 class VOState(NamedTuple):
@@ -280,12 +283,14 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     # holds here; both flags turn TPU-serialized scatter-adds into
     # reshape-sums / MXU matmuls
     dense = vo.ba_solver == "dense"
-    params2, lam2, cost, _ = lm_iteration(
-        params, obs, K, state.lam, free,
-        huber_px=vo.huber_px, cg_iters=vo.cg_iters, n_points=P,
-        cam_blocked=True, pt_onehot=vo.ba_pt_onehot or dense,
-        dense_schur=dense,
-    )
+    params2, lam2 = params, state.lam
+    for _ in range(vo.ba_iters):
+        params2, lam2, cost, _ = lm_iteration(
+            params2, obs, K, lam2, free,
+            huber_px=vo.huber_px, cg_iters=vo.cg_iters, n_points=P,
+            cam_blocked=True, pt_onehot=vo.ba_pt_onehot or dense,
+            dense_schur=dense,
+        )
 
     rolled = VOState(
         Rs=params2.Rs,
