@@ -67,6 +67,10 @@ class SiftConfig:
                                         # (fused gradient+pad kernel reading
                                         # each blur plane once) | "xla"
                                         # (gradient_planes + pad/concat)
+    mask_backend: str = "pallas"        # extrema mask for the multi-launch
+                                        # kp path: "pallas" (one-pass strip
+                                        # kernel over the DoG atlas) | "xla"
+                                        # (ops.detect.extrema_mask stencil)
 
     # --- derived helpers (pure functions of config + image shape) ---
 

@@ -242,11 +242,19 @@ def detect_all_octaves_pallas(
     from .pallas.refine import build_dog_atlas, refine_atlas_pallas
 
     bd = cfg.border_dist
-    masks = [extrema_mask(d, cfg, o) for o, d in enumerate(octave_dogs)]
+    atlas, row_starts = build_dog_atlas(octave_dogs)
+    if cfg.mask_backend == "pallas":
+        from .pallas.maskk import extrema_masks_atlas_pallas
+
+        masks = extrema_masks_atlas_pallas(
+            atlas, row_starts, [d.shape for d in octave_dogs], cfg,
+            interpret=interpret,
+        )
+    else:
+        masks = [extrema_mask(d, cfg, o) for o, d in enumerate(octave_dogs)]
     idx_all, written, total = compact_masks_multi(
         masks, list(caps), interpret=interpret
     )
-    atlas, row_starts = build_dog_atlas(octave_dogs)
     s_l, r_l, c_l, v_l = [], [], [], []
     rlo_l, rhi_l, clo_l, chi_l = [], [], [], []
     off = 0

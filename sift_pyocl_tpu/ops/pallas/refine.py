@@ -311,24 +311,37 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
     lax.fori_loop(0, KP_BLOCK, body, 0)
 
 
+MASK_STRIP = 56  # extrema-mask kernel strip height; octave blocks are
+                 # rounded to this so every strip lies in ONE octave block
+
+
 def build_dog_atlas(octave_dogs):
     """Stack per-octave (S, H_o, W_o) DoG stacks into one padded atlas.
 
-    Returns (atlas (S, sum_o(H_o + 2 PAD_R), Wmax + 2 PAD_C), row_starts) —
-    octave o's unpadded origin sits at atlas row row_starts[o] + PAD_R.
-    Replaces the per-octave `pad_dogs` copies with one concatenation of the
-    same total bytes, enabling the single-launch atlas refine."""
+    Returns (atlas (S, Ha, Wmax + 2 PAD_C), row_starts) — octave o's
+    unpadded origin sits at atlas row row_starts[o] + PAD_R.  Replaces the
+    per-octave `pad_dogs` copies with one concatenation of the same total
+    bytes, enabling the single-launch atlas refine.  Each octave block's
+    height is rounded up to MASK_STRIP (zero rows) and 8 extra rows close
+    the atlas, so the extrema-mask kernel's strips are octave-pure and its
+    row-halo fetches stay in bounds."""
     wmax = max(d.shape[2] for d in octave_dogs)
     blocks = []
     row_starts = []
     off = 0
     for d in octave_dogs:
         S, H, W = d.shape
+        hb = _round_up(H + 2 * PAD_R, MASK_STRIP)
         blocks.append(jnp.pad(
-            d, ((0, 0), (PAD_R, PAD_R), (PAD_C, wmax - W + PAD_C))
+            d,
+            ((0, 0), (PAD_R, hb - H - PAD_R), (PAD_C, wmax - W + PAD_C)),
         ))
         row_starts.append(off)
-        off += H + 2 * PAD_R
+        off += hb
+    blocks.append(jnp.zeros(
+        (octave_dogs[0].shape[0], 8, blocks[0].shape[2]),
+        octave_dogs[0].dtype,
+    ))
     return jnp.concatenate(blocks, axis=1), row_starts
 
 

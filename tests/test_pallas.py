@@ -320,3 +320,28 @@ def test_grad_atlas_kernel_parity(scene160):
         covered[row_starts[o] : r0 + H + PAD_R] = True
     # inter-block slack rows (TR rounding) are zero too
     assert np.abs(mag_np[:, ~covered]).max() == 0.0
+
+
+def test_extrema_mask_atlas_pallas_matches_xla(scene160):
+    """One-launch atlas extrema-mask kernel vs ops.detect.extrema_mask:
+    exact per-octave equality (the kernel is comparisons only)."""
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.ops.detect import extrema_mask
+    from sift_pyocl_tpu.ops.pallas.maskk import extrema_masks_atlas_pallas
+    from sift_pyocl_tpu.ops.pallas.refine import build_dog_atlas
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
+
+    cfg = SiftConfig()
+    octs = build_scale_space_jax(jnp.asarray(scene160), cfg)
+    dogs = [d for _, d in octs]
+    atlas, rs = build_dog_atlas(dogs)
+    got = extrema_masks_atlas_pallas(
+        atlas, rs, [d.shape for d in dogs], cfg, interpret=True
+    )
+    total = 0
+    for o, d in enumerate(dogs):
+        want = np.asarray(extrema_mask(d, cfg, o))
+        np.testing.assert_array_equal(np.asarray(got[o]), want,
+                                      err_msg=f"octave {o}")
+        total += want.sum()
+    assert total > 5  # the scene must actually produce extrema

@@ -128,6 +128,18 @@ def main():
         atlas, _rs = build_dog_atlas([d for _, d in octs])
         return {"s": acc + [atlas.sum()]}
 
+    def st_maskp(c):
+        from sift_pyocl_tpu.ops.pallas.maskk import extrema_masks_atlas_pallas
+        from sift_pyocl_tpu.ops.pallas.refine import build_dog_atlas
+        octs = build_scale_space_jax(c, cfg)
+        acc = [b.sum() for b, _ in octs]
+        dogs = [d for _, d in octs]
+        atlas, rs = build_dog_atlas(dogs)
+        masks = extrema_masks_atlas_pallas(
+            atlas, rs, [d.shape for d in dogs], cfg,
+            interpret=cfg.pallas_interpret)
+        return {"s": acc + [m.sum() for m in masks]}
+
     def st_sift(c):
         b = detect_and_describe(c, cfg)
         return {"s": [b.x.sum(), b.angle.sum(),
@@ -221,7 +233,7 @@ def main():
         "pyramid": st_pyramid, "grad_pad": st_grad_pad,
         "grad_atlas_xla": st_grad_atlas_xla, "grad_atlas": st_grad_atlas,
         "detect": st_detect, "mask": st_mask, "compact": st_compact,
-        "dogatlas": st_dogatlas,
+        "dogatlas": st_dogatlas, "maskp": st_maskp,
         "sift": st_sift, "sift_gradxla": st_sift_gradxla,
         "vo": st_vo, "match": st_match, "pnp": st_pnp, "ba": st_ba,
         "ba_opt": st_ba_opt, "ba_blk": st_ba_blk, "ba_dense": st_ba_dense,
