@@ -24,6 +24,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 from ..config import SiftConfig
+from ..ops import on_tpu
 from ..oracle import KP_DTYPE
 from ..ops.detect import detect_octave
 from ..ops.orient_desc import assign_orientations, compute_descriptors, gradient_planes
@@ -70,7 +71,7 @@ def _resolve_kp_backend(cfg: SiftConfig) -> str:
 
     be = cfg.kp_backend
     if be == "auto":
-        be = "pallas" if jax.default_backend() == "tpu" else "xla"
+        be = "pallas" if on_tpu() else "xla"
     if be == "pallas" and max(_ori_window_size(cfg), _desc_window_size(cfg)) > 128:
         # The Pallas window kernels hold a keypoint window in (win, 128)
         # lanes; configs whose window exceeds 128 (e.g. init_sigma=1.8,

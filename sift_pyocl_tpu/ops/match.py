@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from . import on_tpu
+
 INT_MAX = np.int32(2**31 - 1)
 
 
@@ -104,7 +106,7 @@ def _best2_l2_auto(desc1, desc2, valid2):
     never touches HBM — ops/pallas/matchk.py), XLA reduction elsewhere."""
     from .pallas.matchk import MAX_N2, best2_l2_pallas
 
-    if jax.default_backend() == "tpu" and desc2.shape[0] <= MAX_N2:
+    if on_tpu() and desc2.shape[0] <= MAX_N2:
         return best2_l2_pallas(desc1, desc2, valid2)
     return _best2_l2(desc1, desc2, valid2)
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from . import on_tpu
 from ..config import SiftConfig
 from ..oracle import gaussian_kernel
 
@@ -83,7 +84,7 @@ def blur(img: jnp.ndarray, sigma: float, backend: str = "auto",
     conv, the Pallas kernel fuses both 1-D passes in VMEM.
     """
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "pallas" if on_tpu() else "xla"
     if backend == "pallas":
         from .pallas.conv import separable_blur_pallas
 
@@ -214,7 +215,7 @@ def build_scale_space_jax(
     """
     backend = cfg.conv_backend
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "pallas" if on_tpu() else "xla"
     n_oct = cfg.n_octaves(img.shape[:2])
     cur0 = cfg.orig_sigma * (2.0 if cfg.double_im_size else 1.0)
     use_strip = False

@@ -152,3 +152,25 @@ def test_vo_step_mosaic_runs():
     assert int(out.n_matches) > 10
     assert np.isfinite(float(out.rms_px)) and float(out.rms_px) < 3.0
     assert np.all(np.isfinite(np.asarray(out.t)))
+
+
+def test_extrema_mask_mosaic_matches_xla(scene160):
+    """Mosaic-compiled atlas extrema-mask kernel vs the XLA stencil: exact
+    per-octave equality on the chip (mirrors the interpret-mode test)."""
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.ops.detect import extrema_mask
+    from sift_pyocl_tpu.ops.pallas.maskk import extrema_masks_atlas_pallas
+    from sift_pyocl_tpu.ops.pallas.refine import build_dog_atlas
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
+
+    cfg = SiftConfig()
+    octs = build_scale_space_jax(jnp.asarray(scene160), cfg)
+    dogs = [d for _, d in octs]
+    atlas, rs = build_dog_atlas(dogs)
+    got = extrema_masks_atlas_pallas(
+        atlas, rs, [d.shape for d in dogs], cfg, interpret=False
+    )
+    for o, d in enumerate(dogs):
+        want = np.asarray(extrema_mask(d, cfg, o))
+        np.testing.assert_array_equal(np.asarray(got[o]), want,
+                                      err_msg=f"octave {o}")
