@@ -67,10 +67,13 @@ class SiftConfig:
                                         # (fused gradient+pad kernel reading
                                         # each blur plane once) | "xla"
                                         # (gradient_planes + pad/concat)
-    mask_backend: str = "pallas"        # extrema mask for the multi-launch
-                                        # kp path: "pallas" (one-pass strip
-                                        # kernel over the DoG atlas) | "xla"
-                                        # (ops.detect.extrema_mask stencil)
+    mask_backend: str = "xla"           # extrema mask for the multi-launch
+                                        # kp path: "xla" (ops.detect.
+                                        # extrema_mask stencil — measured
+                                        # ~0.5 ms at 1080p) | "pallas"
+                                        # (one-pass strip kernel over the
+                                        # DoG atlas; v1 with lane rolls
+                                        # measured 2.9 ms — kept for tuning)
 
     # --- derived helpers (pure functions of config + image shape) ---
 

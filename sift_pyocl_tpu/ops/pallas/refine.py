@@ -311,7 +311,9 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
     lax.fori_loop(0, KP_BLOCK, body, 0)
 
 
-MASK_STRIP = 56  # extrema-mask kernel strip height; octave blocks are
+MASK_STRIP = 32  # extrema-mask kernel strip height (32 keeps the
+                 # Mosaic VMEM stack—scratch + live stencil temporaries—
+                 # under the 16 MB scoped limit at 1080p atlas width); octave blocks are
                  # rounded to this so every strip lies in ONE octave block
 
 
