@@ -72,8 +72,9 @@ class SiftConfig:
                                         # extrema_mask stencil — measured
                                         # ~0.5 ms at 1080p) | "pallas"
                                         # (one-pass strip kernel over the
-                                        # DoG atlas; v1 with lane rolls
-                                        # measured 2.9 ms — kept for tuning)
+                                        # DoG atlas; v1 lane rolls 2.9 ms,
+                                        # v2 static slices ~2.7 ms — still
+                                        # behind XLA, kept for tuning)
 
     # --- derived helpers (pure functions of config + image shape) ---
 

@@ -66,21 +66,28 @@ def _mask_kernel(rlo_ref, rhi_ref, clo_ref, chi_ref, eth_ref, atlas_hbm,
     chi = chi_ref[i]
     eth = eth_ref[i]
 
-    # atlas row / col ids of the computed block (start is dynamic, so this
-    # covers both the strip-0 and the general fetch window)
-    rr = lax.broadcasted_iota(jnp.int32, (MASK_STRIP, Wa), 0) + (start + LR0)
-    cc = lax.broadcasted_iota(jnp.int32, (MASK_STRIP, Wa), 1)
+    # atlas row / col ids of the computed interior block (start is dynamic,
+    # so this covers both the strip-0 and the general fetch window).  All
+    # neighbor accesses are STATIC shifted slices over the interior columns
+    # [1, Wa-1) — the Mosaic-fast idiom (ladder0 lesson).  Measured: v1
+    # lane rolls 2.9 ms, this static-slice form ~2.7 ms, XLA stencil
+    # ~0.4 ms at 1080p — the strip fetch DMA (full atlas re-read with
+    # halo), not the compare tree, dominates; kept for tuning, default
+    # stays XLA (config.mask_backend).  Columns 0 and Wa-1 are atlas
+    # padding (PAD_C >= 256 > border_dist), outside the border window.
+    Wi = Wa - 2
+    rr = lax.broadcasted_iota(jnp.int32, (MASK_STRIP, Wi), 0) + (start + LR0)
+    cc = lax.broadcasted_iota(jnp.int32, (MASK_STRIP, Wi), 1) + 1
     inbound = (rr >= rlo) & (rr < rhi) & (cc >= clo) & (cc < chi)
 
     def nb(s, dr, dc):
-        x = buf[s, LR0 + dr : LR0 + dr + MASK_STRIP, :]
-        if dc:
-            x = pltpu.roll(x, (-dc) % Wa, 1)
-        return x
+        return buf[
+            s, LR0 + dr : LR0 + dr + MASK_STRIP, 1 + dc : 1 + dc + Wi
+        ]
 
     for p in range(S - 2):
         s = p + 1
-        v = buf[s, LR0 : LR0 + MASK_STRIP, :]
+        v = nb(s, 0, 0)
         strong = jnp.abs(v) > strong_thresh
         is_max = strong
         is_min = strong
@@ -103,7 +110,9 @@ def _mask_kernel(rlo_ref, rhi_ref, clo_ref, chi_ref, eth_ref, atlas_hbm,
         det = hxx * hyy - hxy * hxy
         tr = hxx + hyy
         not_edge = (det > 0) & (det >= eth * tr * tr)
-        osc[p] = jnp.where(
+        osc[p, :, 0:1] = jnp.zeros((MASK_STRIP, 1), jnp.float32)
+        osc[p, :, Wa - 1 : Wa] = jnp.zeros((MASK_STRIP, 1), jnp.float32)
+        osc[p, :, 1 : Wa - 1] = jnp.where(
             cand & not_edge & inbound, 1.0, 0.0
         ).astype(jnp.float32)
 

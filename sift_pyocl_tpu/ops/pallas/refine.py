@@ -52,7 +52,9 @@ def _at(plane, rr, cc):
     return jnp.sum(jnp.where(oh, plane, 0.0))
 
 
-KP_BLOCK = 8   # candidates per grid step (amortizes step overhead, overlaps DMA)
+KP_BLOCK = 16  # candidates per grid step (amortizes step overhead, overlaps
+               # DMA; 16 measured better than 8 — per-step overhead, not
+               # per-candidate compute, dominates this kernel)
 
 
 def _window_copy(dogs_hbm, s, r, c, dest, sem):
@@ -71,13 +73,31 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
             fs_out, fr_out, fc_out, peak_out, acc_out,
             win, sems, *, H, W, bd, peak_thresh, max_moves):
     i = pl.program_id(0)
-    for j in range(KP_BLOCK):
-        k = i * KP_BLOCK + j
+    # block-level skip: capacity tails are fully-invalid blocks (per-octave
+    # validity is a prefix) — one branch instead of per-slot DMA predicates
+    anyv = valid_ref[i * KP_BLOCK] > 0
+    for j in range(1, KP_BLOCK):
+        anyv = anyv | (valid_ref[i * KP_BLOCK + j] > 0)
 
-        @pl.when(valid_ref[k] > 0)
-        def _(j=j, k=k):
-            _window_copy(dogs_hbm, s_ref[k], r_ref[k], c_ref[k],
-                         win.at[j], sems.at[j]).start()
+    @pl.when(anyv)
+    def _():
+        for j in range(KP_BLOCK):
+            k = i * KP_BLOCK + j
+
+            @pl.when(valid_ref[k] > 0)
+            def _(j=j, k=k):
+                _window_copy(dogs_hbm, s_ref[k], r_ref[k], c_ref[k],
+                             win.at[j], sems.at[j]).start()
+
+    @pl.when(jnp.logical_not(anyv))
+    def _():
+        for j in range(KP_BLOCK):
+            k = i * KP_BLOCK + j
+            fs_out[k] = 0.0
+            fr_out[k] = 0.0
+            fc_out[k] = 0.0
+            peak_out[k] = 0.0
+            acc_out[k] = 0
 
     def body(j, carry):
         k = i * KP_BLOCK + j
@@ -182,7 +202,9 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
         peak_out[k] = v_p
         acc_out[k] = accept.astype(jnp.int32)
 
-    lax.fori_loop(0, KP_BLOCK, body, 0)
+    @pl.when(anyv)
+    def _():
+        lax.fori_loop(0, KP_BLOCK, body, 0)
 
 
 def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
@@ -196,13 +218,31 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
     per-octave formulation paid ~0.13 ms of launch overhead per octave, and
     the earlier branched multi-ref attempt lost to @pl.when dispatch."""
     i = pl.program_id(0)
-    for j in range(KP_BLOCK):
-        k = i * KP_BLOCK + j
+    # block-level skip: capacity tails are fully-invalid blocks (per-octave
+    # validity is a prefix) — one branch instead of per-slot DMA predicates
+    anyv = valid_ref[i * KP_BLOCK] > 0
+    for j in range(1, KP_BLOCK):
+        anyv = anyv | (valid_ref[i * KP_BLOCK + j] > 0)
 
-        @pl.when(valid_ref[k] > 0)
-        def _(j=j, k=k):
-            _window_copy(dogs_hbm, s_ref[k], r_ref[k], c_ref[k],
-                         win.at[j], sems.at[j]).start()
+    @pl.when(anyv)
+    def _():
+        for j in range(KP_BLOCK):
+            k = i * KP_BLOCK + j
+
+            @pl.when(valid_ref[k] > 0)
+            def _(j=j, k=k):
+                _window_copy(dogs_hbm, s_ref[k], r_ref[k], c_ref[k],
+                             win.at[j], sems.at[j]).start()
+
+    @pl.when(jnp.logical_not(anyv))
+    def _():
+        for j in range(KP_BLOCK):
+            k = i * KP_BLOCK + j
+            fs_out[k] = 0.0
+            fr_out[k] = 0.0
+            fc_out[k] = 0.0
+            peak_out[k] = 0.0
+            acc_out[k] = 0
 
     def body(j, carry):
         k = i * KP_BLOCK + j
@@ -308,7 +348,9 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
         peak_out[k] = v_p
         acc_out[k] = accept.astype(jnp.int32)
 
-    lax.fori_loop(0, KP_BLOCK, body, 0)
+    @pl.when(anyv)
+    def _():
+        lax.fori_loop(0, KP_BLOCK, body, 0)
 
 
 MASK_STRIP = 32  # extrema-mask kernel strip height (32 keeps the

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...oracle import DESC_GRID, DESC_ORI, MAG_FACTOR, N_ORI_BINS
 
 PAD_R, PAD_C = 80, 256  # gradient-plane padding per side (covers WIN<=128)
-KP_BLOCK = 8            # keypoints per grid step
+KP_BLOCK = 16           # keypoints per grid step
 
 
 def pad_grad_planes(mags: jnp.ndarray, oris: jnp.ndarray):
@@ -537,32 +537,46 @@ def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fro_ref, fco_ref, sig_ref,
                   C_ref, mag_hbm, ori_hbm, aux_ref, desc_ref,
                   magw, oriw, sems, *, win: int, rows_f: int, max_ori: int):
     i = pl.program_id(0)
-    _start_window_dmas(valid_ref, s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm,
-                       magw, oriw, sems, i, rows_f)
     DW = max_ori * 128
+    # block-level skip: capacity tails are fully-invalid blocks — one branch
+    # instead of per-slot DMA predicates and conds
+    anyv = valid_ref[i * KP_BLOCK] > 0
+    for j in range(1, KP_BLOCK):
+        anyv = anyv | (valid_ref[i * KP_BLOCK + j] > 0)
 
-    def body(j, acc):
-        k = i * KP_BLOCK + j
+    @pl.when(jnp.logical_not(anyv))
+    def _():
+        aux_ref[:] = jnp.zeros((KP_BLOCK, 128), jnp.float32)
+        desc_ref[:] = jnp.zeros((KP_BLOCK, DW), jnp.float32)
 
-        def compute(acc):
-            aux_acc, desc_acc = acc
-            mw, ow = _wait_windows(s_ref, rs_ref, cs_ref, mag_hbm, ori_hbm,
-                                   magw, oriw, sems, j, k, rows_f, win)
-            aux_row, drow = _kp_orient_desc(
-                mw, ow, fro_ref[k], fco_ref[k],
-                sig_ref[k], C_ref, win=win, max_ori=max_ori,
-            )
-            aux_acc = _select_row(aux_acc, j, aux_row)
-            desc_acc = _select_row(desc_acc, j, drow)
-            return (aux_acc, desc_acc)
+    @pl.when(anyv)
+    def _():
+        _start_window_dmas(valid_ref, s_ref, rs_ref, cs_ref, mag_hbm,
+                           ori_hbm, magw, oriw, sems, i, rows_f)
 
-        return lax.cond(valid_ref[k] > 0, compute, lambda a: a, acc)
+        def body(j, acc):
+            k = i * KP_BLOCK + j
 
-    aux0 = jnp.zeros((KP_BLOCK, 128), jnp.float32)
-    desc0 = jnp.zeros((KP_BLOCK, DW), jnp.float32)
-    aux, desc = lax.fori_loop(0, KP_BLOCK, body, (aux0, desc0))
-    aux_ref[:] = aux
-    desc_ref[:] = desc
+            def compute(acc):
+                aux_acc, desc_acc = acc
+                mw, ow = _wait_windows(s_ref, rs_ref, cs_ref, mag_hbm,
+                                       ori_hbm, magw, oriw, sems, j, k,
+                                       rows_f, win)
+                aux_row, drow = _kp_orient_desc(
+                    mw, ow, fro_ref[k], fco_ref[k],
+                    sig_ref[k], C_ref, win=win, max_ori=max_ori,
+                )
+                aux_acc = _select_row(aux_acc, j, aux_row)
+                desc_acc = _select_row(desc_acc, j, drow)
+                return (aux_acc, desc_acc)
+
+            return lax.cond(valid_ref[k] > 0, compute, lambda a: a, acc)
+
+        aux0 = jnp.zeros((KP_BLOCK, 128), jnp.float32)
+        desc0 = jnp.zeros((KP_BLOCK, DW), jnp.float32)
+        aux, desc = lax.fori_loop(0, KP_BLOCK, body, (aux0, desc0))
+        aux_ref[:] = aux
+        desc_ref[:] = desc
 
 
 @functools.partial(
