@@ -12,8 +12,10 @@ here each candidate costs one 3-plane DMA plus vector math:
   * compute gradient/Hessian/offset/peak planes DENSELY over the window with
     static `pltpu.roll` shifts (the 3x3x3 stencil becomes ~45 VPU ops);
   * run the <=5 re-centering moves as scalar iterations, reading the dense
-    offset planes at the current position with a one-hot reduction (TPU has
-    no unaligned scalar VMEM loads);
+    offset planes at the current position via a dynamic single-row ref
+    slice + (1, COLS) lane one-hot (TPU has no unaligned scalar VMEM
+    loads; the planes are staged once into a small VMEM scratch so each
+    read touches one row instead of the whole window);
   * write per-candidate results to SMEM outputs.
 
 Numerics match ops.detect.refine_candidates / oracle.interp_keypoint: move
@@ -44,12 +46,16 @@ def pad_dogs(dogs: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(dogs, ((0, 0), (PAD_R, PAD_R), (PAD_C, PAD_C)))
 
 
-def _at(plane, rr, cc):
-    """Scalar read plane[rr, cc] via one-hot reduction (no unaligned loads)."""
-    oh = (lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0) == rr) & (
-        lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1) == cc
-    )
-    return jnp.sum(jnp.where(oh, plane, 0.0))
+def _at_row(pln, p, rr, cc):
+    """Scalar read pln[p, rr, cc] from a VMEM scratch ref: dynamic-slice ONE
+    row (refs support dynamic sublane starts), then a (1, COLS) lane one-hot
+    reduction.  ~24x fewer vreg ops than the dense full-plane `_at`, which
+    dominated this kernel's per-candidate cost (measured: the move loop +
+    final sampling were ~half the refine time at 12 full-plane one-hots per
+    candidate)."""
+    row = pln[p, pl.ds(rr, 1), :]
+    oh = lax.broadcasted_iota(jnp.int32, (1, COLS), 1) == cc
+    return jnp.sum(jnp.where(oh, row, 0.0))
 
 
 KP_BLOCK = 16  # candidates per grid step (amortizes step overhead, overlaps
@@ -69,25 +75,50 @@ def _window_copy(dogs_hbm, s, r, c, dest, sem):
     )
 
 
+def _db_start_block(valid_ref, s_ref, r_ref, c_ref, dogs_hbm, win, sems, b):
+    """Start block b's window DMAs into double buffer b % 2 (valid slots
+    only — per-octave validity is a prefix, so invalid slots never have a
+    matching wait)."""
+    buf = b % 2
+    for j in range(KP_BLOCK):
+        k = b * KP_BLOCK + j
+
+        @pl.when(valid_ref[k] > 0)
+        def _(j=j, k=k):
+            _window_copy(dogs_hbm, s_ref[k], r_ref[k], c_ref[k],
+                         win.at[buf, j], sems.at[buf, j]).start()
+
+
+def _db_prologue(valid_ref, s_ref, r_ref, c_ref, dogs_hbm, win, sems, i):
+    """Cross-step DMA pipelining: block i's windows were started during step
+    i-1 (into buffer i % 2); this prologue starts block i+1's into the other
+    buffer so its HBM latency hides behind block i's compute.  Step 0 starts
+    its own block first and eats the latency once per launch.  Grid steps
+    run sequentially, so buffer (i+1) % 2 — last read by step i-1 — is free."""
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        _db_start_block(valid_ref, s_ref, r_ref, c_ref, dogs_hbm, win,
+                        sems, jnp.int32(0))
+
+    @pl.when(i + 1 < n)
+    def _():
+        _db_start_block(valid_ref, s_ref, r_ref, c_ref, dogs_hbm, win,
+                        sems, i + 1)
+
+
 def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
             fs_out, fr_out, fc_out, peak_out, acc_out,
-            win, sems, *, H, W, bd, peak_thresh, max_moves):
+            win, sems, pln, *, H, W, bd, peak_thresh, max_moves):
     i = pl.program_id(0)
+    buf = i % 2
+    _db_prologue(valid_ref, s_ref, r_ref, c_ref, dogs_hbm, win, sems, i)
     # block-level skip: capacity tails are fully-invalid blocks (per-octave
-    # validity is a prefix) — one branch instead of per-slot DMA predicates
+    # validity is a prefix) — one branch instead of per-slot conds
     anyv = valid_ref[i * KP_BLOCK] > 0
     for j in range(1, KP_BLOCK):
         anyv = anyv | (valid_ref[i * KP_BLOCK + j] > 0)
-
-    @pl.when(anyv)
-    def _():
-        for j in range(KP_BLOCK):
-            k = i * KP_BLOCK + j
-
-            @pl.when(valid_ref[k] > 0)
-            def _(j=j, k=k):
-                _window_copy(dogs_hbm, s_ref[k], r_ref[k], c_ref[k],
-                             win.at[j], sems.at[j]).start()
 
     @pl.when(jnp.logical_not(anyv))
     def _():
@@ -121,16 +152,17 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
         s = s_ref[k]
         r = r_ref[k]
         c = c_ref[k]
-        _window_copy(dogs_hbm, s, r, c, win.at[j], sems.at[j]).wait()
+        _window_copy(dogs_hbm, s, r, c, win.at[buf, j],
+                     sems.at[buf, j]).wait()
         # local coords of the candidate center inside the window
         rp = r - 6 + PAD_R
         cp = c - 6 + PAD_C
         lr0 = rp - (rp // 8) * 8 + 6
         lc0 = cp - (cp // 128) * 128 + 6
 
-        w0 = win[j, 0]
-        w1 = win[j, 1]
-        w2 = win[j, 2]
+        w0 = win[buf, j, 0]
+        w1 = win[buf, j, 1]
+        w2 = win[buf, j, 2]
 
         def sh(x, dr, dc):
             # pltpu.roll requires non-negative shifts; -d == size - d
@@ -165,11 +197,16 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
         offc = -((b_ * e_ - d_ * c_) * gs + (c_ * b_ - a * e_) * gr
                  + (a * d_ - b_ * b_) * gc) * inv
         peak = w1 + 0.5 * (gs * offs + gr * offr + gc * offc)
+        pln[0] = offs
+        pln[1] = offr
+        pln[2] = offc
+        pln[3] = peak
+        pln[4] = jnp.where(solv, 1.0, 0.0)
 
         def move(_, st):
             lr, lc = st
-            o_r = _at(offr, lr, lc)
-            o_c = _at(offc, lr, lc)
+            o_r = _at_row(pln, 1, lr, lc)
+            o_c = _at_row(pln, 2, lr, lc)
             converged = (jnp.abs(o_r) <= 0.6) & (jnp.abs(o_c) <= 0.6)
             dr = jnp.where(o_r > 0.6, 1, jnp.where(o_r < -0.6, -1, 0))
             dc = jnp.where(o_c > 0.6, 1, jnp.where(o_c < -0.6, -1, 0))
@@ -184,11 +221,11 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
             return (lr, lc)
 
         lr, lc = lax.fori_loop(0, max_moves, move, (lr0, lc0))
-        v_s = _at(offs, lr, lc)
-        v_r = _at(offr, lr, lc)
-        v_c = _at(offc, lr, lc)
-        v_p = _at(peak, lr, lc)
-        v_ok = _at(jnp.where(solv, 1.0, 0.0), lr, lc)
+        v_s = _at_row(pln, 0, lr, lc)
+        v_r = _at_row(pln, 1, lr, lc)
+        v_c = _at_row(pln, 2, lr, lc)
+        v_p = _at_row(pln, 3, lr, lc)
+        v_ok = _at_row(pln, 4, lr, lc)
         accept = (
             (v_ok > 0)
             & (jnp.abs(v_p) > peak_thresh)
@@ -210,7 +247,7 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
 def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
                   clo_ref, chi_ref, dogs_hbm,
                   fs_out, fr_out, fc_out, peak_out, acc_out,
-                  win, sems, *, peak_thresh, max_moves):
+                  win, sems, pln, *, peak_thresh, max_moves):
     """Atlas variant of `_kernel`: all octaves' padded DoG stacks live in ONE
     (S, sum_o(H_o + 2 PAD_R), Wmax + 2 PAD_C) array; per-candidate rows are
     pre-offset into the atlas and the border clamps arrive as per-candidate
@@ -218,21 +255,13 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
     per-octave formulation paid ~0.13 ms of launch overhead per octave, and
     the earlier branched multi-ref attempt lost to @pl.when dispatch."""
     i = pl.program_id(0)
+    buf = i % 2
+    _db_prologue(valid_ref, s_ref, r_ref, c_ref, dogs_hbm, win, sems, i)
     # block-level skip: capacity tails are fully-invalid blocks (per-octave
-    # validity is a prefix) — one branch instead of per-slot DMA predicates
+    # validity is a prefix) — one branch instead of per-slot conds
     anyv = valid_ref[i * KP_BLOCK] > 0
     for j in range(1, KP_BLOCK):
         anyv = anyv | (valid_ref[i * KP_BLOCK + j] > 0)
-
-    @pl.when(anyv)
-    def _():
-        for j in range(KP_BLOCK):
-            k = i * KP_BLOCK + j
-
-            @pl.when(valid_ref[k] > 0)
-            def _(j=j, k=k):
-                _window_copy(dogs_hbm, s_ref[k], r_ref[k], c_ref[k],
-                             win.at[j], sems.at[j]).start()
 
     @pl.when(jnp.logical_not(anyv))
     def _():
@@ -270,15 +299,16 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
         rhi = rhi_ref[k]
         clo = clo_ref[k]
         chi = chi_ref[k]
-        _window_copy(dogs_hbm, s, r, c, win.at[j], sems.at[j]).wait()
+        _window_copy(dogs_hbm, s, r, c, win.at[buf, j],
+                     sems.at[buf, j]).wait()
         rp = r - 6 + PAD_R
         cp = c - 6 + PAD_C
         lr0 = rp - (rp // 8) * 8 + 6
         lc0 = cp - (cp // 128) * 128 + 6
 
-        w0 = win[j, 0]
-        w1 = win[j, 1]
-        w2 = win[j, 2]
+        w0 = win[buf, j, 0]
+        w1 = win[buf, j, 1]
+        w2 = win[buf, j, 2]
 
         def sh(x, dr, dc):
             y = x
@@ -311,11 +341,16 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
         offc = -((b_ * e_ - d_ * c_) * gs + (c_ * b_ - a * e_) * gr
                  + (a * d_ - b_ * b_) * gc) * inv
         peak = w1 + 0.5 * (gs * offs + gr * offr + gc * offc)
+        pln[0] = offs
+        pln[1] = offr
+        pln[2] = offc
+        pln[3] = peak
+        pln[4] = jnp.where(solv, 1.0, 0.0)
 
         def move(_, st):
             lr, lc = st
-            o_r = _at(offr, lr, lc)
-            o_c = _at(offc, lr, lc)
+            o_r = _at_row(pln, 1, lr, lc)
+            o_c = _at_row(pln, 2, lr, lc)
             converged = (jnp.abs(o_r) <= 0.6) & (jnp.abs(o_c) <= 0.6)
             dr = jnp.where(o_r > 0.6, 1, jnp.where(o_r < -0.6, -1, 0))
             dc = jnp.where(o_c > 0.6, 1, jnp.where(o_c < -0.6, -1, 0))
@@ -330,11 +365,11 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
             return (lr, lc)
 
         lr, lc = lax.fori_loop(0, max_moves, move, (lr0, lc0))
-        v_s = _at(offs, lr, lc)
-        v_r = _at(offr, lr, lc)
-        v_c = _at(offc, lr, lc)
-        v_p = _at(peak, lr, lc)
-        v_ok = _at(jnp.where(solv, 1.0, 0.0), lr, lc)
+        v_s = _at_row(pln, 0, lr, lc)
+        v_r = _at_row(pln, 1, lr, lc)
+        v_c = _at_row(pln, 2, lr, lc)
+        v_p = _at_row(pln, 3, lr, lc)
+        v_ok = _at_row(pln, 4, lr, lc)
         accept = (
             (v_ok > 0)
             & (jnp.abs(v_p) > peak_thresh)
@@ -422,8 +457,9 @@ def refine_atlas_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(5)
         ),
         scratch_shapes=[
-            pltpu.VMEM((KP_BLOCK, 3, ROWS, COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((KP_BLOCK,)),
+            pltpu.VMEM((2, KP_BLOCK, 3, ROWS, COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, KP_BLOCK)),
+            pltpu.VMEM((5, ROWS, COLS), jnp.float32),
         ],
     )
     outs = pl.pallas_call(
@@ -475,8 +511,9 @@ def refine_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(5)
         ),
         scratch_shapes=[
-            pltpu.VMEM((KP_BLOCK, 3, ROWS, COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((KP_BLOCK,)),
+            pltpu.VMEM((2, KP_BLOCK, 3, ROWS, COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, KP_BLOCK)),
+            pltpu.VMEM((5, ROWS, COLS), jnp.float32),
         ],
     )
     outs = pl.pallas_call(

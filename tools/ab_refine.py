@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Standalone refine-kernel microbench (tuning aid).
+
+Measures `refine_atlas_pallas` alone, on real candidate data from a 1080p
+detect front half, with the chained-slope protocol.  Used for in-process
+A/Bs of kernel variants (cross-run deltas drown in ~±0.5 ms platform noise;
+findings so far: KP_BLOCK 8->16 helped; swapping full-plane one-hot
+sampling for scratch-row sampling was neutral; cross-step double-buffered
+window DMAs were neutral — the kernel is bound by per-candidate serial
+overhead, not VPU throughput or DMA latency).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.ops.detect import extrema_mask
+    from sift_pyocl_tpu.ops.pallas.compact import compact_masks_multi
+    from sift_pyocl_tpu.ops.pallas import refine as rf
+    from sift_pyocl_tpu.models.sift import octave_capacities
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
+    from sift_pyocl_tpu.utils.benchtool import chained_ms
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    cfg = SiftConfig()
+    shape = (1080, 1920)
+    img = jnp.asarray(synthetic_scene(shape, seed=0), jnp.float32)
+    caps = [c for c, _ in octave_capacities(shape, cfg)]
+
+    octs = build_scale_space_jax(img, cfg)
+    dogs_l = [d for _, d in octs]
+    atlas, row_starts = rf.build_dog_atlas(dogs_l)
+    masks = [extrema_mask(d, cfg, o) for o, d in enumerate(dogs_l)]
+    idx_all, written, total = compact_masks_multi(masks, caps)
+
+    bd = cfg.border_dist
+    s_l, r_l, c_l, v_l = [], [], [], []
+    rlo_l, rhi_l, clo_l, chi_l = [], [], [], []
+    off = 0
+    for o, (dogs, mask, cap) in enumerate(zip(dogs_l, masks, caps)):
+        S, H, W = dogs.shape
+        Sm, Hm, Wm = mask.shape
+        idx = np.asarray(idx_all[off : off + cap])
+        off += cap
+        valid = np.arange(cap, dtype=np.int32) < int(written[o])
+        idx = np.where(valid, idx, 0)
+        s_l.append((idx // (Hm * Wm) + 1).astype(np.int32))
+        rem = idx % (Hm * Wm)
+        r_l.append((rem // Wm + bd + row_starts[o]).astype(np.int32))
+        c_l.append((rem % Wm + bd).astype(np.int32))
+        v_l.append(valid.astype(np.int32))
+        rlo_l.append(np.full((cap,), row_starts[o] + bd, np.int32))
+        rhi_l.append(np.full((cap,), row_starts[o] + H - bd, np.int32))
+        clo_l.append(np.full((cap,), bd, np.int32))
+        chi_l.append(np.full((cap,), W - bd, np.int32))
+    s_cat = jnp.asarray(np.concatenate(s_l))
+    r_cat = jnp.asarray(np.concatenate(r_l))
+    c_cat = jnp.asarray(np.concatenate(c_l))
+    v_cat = jnp.asarray(np.concatenate(v_l))
+    rlo = jnp.asarray(np.concatenate(rlo_l))
+    rhi = jnp.asarray(np.concatenate(rhi_l))
+    clo = jnp.asarray(np.concatenate(clo_l))
+    chi = jnp.asarray(np.concatenate(chi_l))
+    print("valid candidates:", int(v_cat.sum()), "of", int(v_cat.shape[0]),
+          flush=True)
+
+    def step(a):
+        fs, fr, fc, peak, acc = rf.refine_atlas_pallas(
+            a, s_cat, r_cat, c_cat, v_cat, rlo, rhi, clo, chi,
+            peak_thresh=cfg.peak_thresh, max_moves=cfg.max_interp_moves,
+        )
+        return {"s": [fs.sum(), fr.sum(), fc.sum(), peak.sum(), acc.sum()]}
+
+    for rep in range(3):
+        ms = chained_ms(step, atlas, n_hi=9, reps=1)
+        print(f"rep{rep}: {ms:.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
