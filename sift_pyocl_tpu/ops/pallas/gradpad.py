@@ -105,17 +105,20 @@ def _kernel(oct_ref, lr0_ref, *refs, shapes, shapes_al, wp):
     oo_id = oct_ref[t]
     lr0 = lr0_ref[t]
 
-    rows = lax.broadcasted_iota(jnp.int32, (TR, wp), 0) + lr0  # image row
-    cols = lax.broadcasted_iota(jnp.int32, (TR, wp), 1) - PAD_C  # image col
-
     mag_ref[0] = jnp.zeros((TR, wp), jnp.float32)
     ori_ref[0] = jnp.zeros((TR, wp), jnp.float32)
 
     for o, ((H, W), (H8, W128)) in enumerate(zip(shapes, shapes_al)):
         inside_tile = (lr0 < H) & (lr0 + TR > 0)
+        # per-octave compute width: small octaves only touch lanes
+        # [0, W128 + 2*PAD_C) — computing the full atlas width for every
+        # octave measured ~0.3 ms of pure masked-zero work at 1080p
+        wl = min(W128 + 2 * PAD_C, wp)
 
         @pl.when((oo_id == o) & inside_tile)
-        def _(o=o, H=H, W=W, H8=H8, W128=W128):
+        def _(o=o, H=H, W=W, H8=H8, W128=W128, wl=wl):
+            rows = lax.broadcasted_iota(jnp.int32, (TR, wl), 0) + lr0
+            cols = lax.broadcasted_iota(jnp.int32, (TR, wl), 1) - PAD_C
             ra = jnp.clip(((lr0 - 8) // 8) * 8, 0, H8 - ROWS_F)
             ra = pl.multiple_of(ra, 8)
             cp = pltpu.make_async_copy(
@@ -126,14 +129,15 @@ def _kernel(oct_ref, lr0_ref, *refs, shapes, shapes_al, wp):
             cp.start()
             cp.wait()
             # roll so row i of the block == image row lr0 + i (i in [0, TR));
-            # wrapped rows fall outside the interior mask
+            # wrapped rows/cols fall outside the interior mask
             p = pltpu.roll(
-                scratch[:], (ROWS_F - (lr0 - ra) % ROWS_F) % ROWS_F, 0
+                scratch[0:ROWS_F, 0:wl],
+                (ROWS_F - (lr0 - ra) % ROWS_F) % ROWS_F, 0,
             )
             up = pltpu.roll(p, 1, 0)           # row i -> image row lr0+i-1
             dn = pltpu.roll(p, ROWS_F - 1, 0)  # row i -> image row lr0+i+1
             lf = pltpu.roll(p, 1, 1)           # col j -> image col j-1
-            rt = pltpu.roll(p, wp - 1, 1)
+            rt = pltpu.roll(p, wl - 1, 1)
             pT = p[0:TR]
             upT = jnp.where(rows == 0, pT, up[0:TR])
             dnT = jnp.where(rows == H - 1, pT, dn[0:TR])
@@ -142,10 +146,10 @@ def _kernel(oct_ref, lr0_ref, *refs, shapes, shapes_al, wp):
             dx = rtT - lfT
             dy = dnT - upT
             interior = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
-            mag_ref[0] = jnp.where(
+            mag_ref[0, 0:TR, 0:wl] = jnp.where(
                 interior, 0.5 * jnp.sqrt(dx * dx + dy * dy), 0.0
             )
-            ori_ref[0] = jnp.where(interior, _atan2(dy, dx), 0.0)
+            ori_ref[0, 0:TR, 0:wl] = jnp.where(interior, _atan2(dy, dx), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("scales", "interpret"))

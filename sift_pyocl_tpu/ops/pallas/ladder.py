@@ -109,51 +109,61 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
             )
 
         def conv_pass(src_ref, dst_ref, lvl, axis, Hb=Hb, Wb=Wb):
-            # Chunked along the non-rolled axis with a loop-carried
-            # accumulator: every temporary is chunk-sized (full-plane
-            # straight-line temps stack up on the Mosaic VMEM allocator).
+            # ONE static roll per plane + STATIC unrolled tap slices (the
+            # ladder0/maskk lesson: dynamic-shift rolls in fori_loops
+            # measured ~9x slower than static slices on Mosaic — this
+            # rewrite took the small-octave ladder 1.8 -> 0.2 ms).  With
+            # r = roll(x, half), out[c] = sum_k t_k x[c+k-half] becomes
+            # sum_k t_k r[c+k]: every read is a static slice; negative
+            # reads wrap into the tail margin, which edge_replicate filled
+            # with the top/left edge replicas (same trick as before).
+            # Output cols/rows [size-2*half, size) go stale, but they lie
+            # beyond the true image (size - 2*half >= dim + 2*MR - 2*half
+            # > dim + 6) and are rebuilt by edge_replicate or sliced off.
+            # Accumulation keeps the OLD tap order (center, then ascending
+            # skipping center) so results stay bit-identical.
             off = tap_offsets[lvl]
             K = tap_sizes[lvl]
             half = (K - 1) // 2
+            order = [half] + [k for k in range(K) if k != half]
             if axis == 1:
-                # largest dividing chunk: fori-loop iteration overhead is
-                # ~0.1 us, so 8-row chunks cost ~1 ms across the ladder
                 CH = next(c for c in (64, 32, 16, 8) if Hb % c == 0)
                 nch = Hb // CH
+                w = Wb - 2 * half
 
                 def row_chunk(rb, _):
                     r0_ = pl.multiple_of(rb * CH, 8)
                     x = src_ref[pl.ds(r0_, CH), 0:Wb]
-
-                    def tap(kk, acc):
-                        return acc + pltpu.roll(
-                            x, (half - kk) % Wb, 1
-                        ) * taps_ref[off + kk]
-
-                    acc = x * taps_ref[off + half]
-                    acc = lax.fori_loop(0, half, tap, acc)
-                    acc = lax.fori_loop(half + 1, K, tap, acc)
-                    dst_ref[pl.ds(r0_, CH), 0:Wb] = acc
+                    r = pltpu.roll(x, half, 1)
+                    # accumulate INTO the dst ref: unrolled value-accumulate
+                    # piles chunk temporaries on the Mosaic stack (no
+                    # liveness reuse in straight-line code) and OOMs VMEM
+                    dst_ref[pl.ds(r0_, CH), 0:w] = (
+                        r[:, half : half + w] * taps_ref[off + half]
+                    )
+                    for k in order[1:]:
+                        dst_ref[pl.ds(r0_, CH), 0:w] += (
+                            r[:, k : k + w] * taps_ref[off + k]
+                        )
                     return 0
 
                 lax.fori_loop(0, nch, row_chunk, 0)
             else:
                 CW = next(c for c in (256, 128) if Wb % c == 0)
                 ncw = Wb // CW
+                h = Hb - 2 * half
 
                 def col_chunk(cb, _):
                     c0_ = pl.multiple_of(cb * CW, 128)
                     x = src_ref[0:Hb, pl.ds(c0_, CW)]
-
-                    def tap(kk, acc):
-                        return acc + pltpu.roll(
-                            x, (half - kk) % Hb, 0
-                        ) * taps_ref[off + kk]
-
-                    acc = x * taps_ref[off + half]
-                    acc = lax.fori_loop(0, half, tap, acc)
-                    acc = lax.fori_loop(half + 1, K, tap, acc)
-                    dst_ref[0:Hb, pl.ds(c0_, CW)] = acc
+                    r = pltpu.roll(x, half, 0)
+                    dst_ref[0:h, pl.ds(c0_, CW)] = (
+                        r[half : half + h, :] * taps_ref[off + half]
+                    )
+                    for k in order[1:]:
+                        dst_ref[0:h, pl.ds(c0_, CW)] += (
+                            r[k : k + h, :] * taps_ref[off + k]
+                        )
                     return 0
 
                 lax.fori_loop(0, ncw, col_chunk, 0)
@@ -165,7 +175,7 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
             cp.start()
             cp.wait()
 
-        def downsample(src_ref, Hb=Hb, Wb=Wb, o=o, H=H, W=W):
+        def downsample(src_ref, o=o, H=H, W=W, Hp8=Hp8, Wp128=Wp128):
             """bufs -> nextbase via selection/averaging matmuls.
 
             shrink: y[r', c'] = x[2r', 2c'] (0/1 selection); bin: 2x2 mean
@@ -173,11 +183,14 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
             margins, NOT exact replicas, so weights must be explicit —
             oracle.bin2 numerics).  Chunked over 128-lane output columns:
             out_chunk = ER @ (x @ EC), keeping every temporary chunk-sized
-            (VMEM stack discipline)."""
+            (VMEM stack discipline).  Contracts over [0, Hp8) x [0, Wp128)
+            only: selections never index past row H / col W, and rows
+            [Hb - 2*half, Hb) are stale after the static-slice conv pass
+            (0 * NaN would poison the matmul)."""
             HbN, WbN = geo[o + 1][4], geo[o + 1][5]
             HN, WN = geo[o + 1][0], geo[o + 1][1]
-            ri = lax.broadcasted_iota(jnp.int32, (HbN, Hb), 0)
-            rj = lax.broadcasted_iota(jnp.int32, (HbN, Hb), 1)
+            ri = lax.broadcasted_iota(jnp.int32, (HbN, Hp8), 0)
+            rj = lax.broadcasted_iota(jnp.int32, (HbN, Hp8), 1)
             if ds_mode == "bin":
                 has2 = 2 * ri + 1 < H
                 ER = jnp.where(
@@ -187,8 +200,8 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
             else:
                 ER = ((rj == 2 * ri) & (ri < HN)).astype(jnp.float32)
             for cb in range(WbN // 128):
-                ci = lax.broadcasted_iota(jnp.int32, (Wb, 128), 0)
-                cj = lax.broadcasted_iota(jnp.int32, (Wb, 128), 1) + cb * 128
+                ci = lax.broadcasted_iota(jnp.int32, (Wp128, 128), 0)
+                cj = lax.broadcasted_iota(jnp.int32, (Wp128, 128), 1) + cb * 128
                 if ds_mode == "bin":
                     chas2 = 2 * cj + 1 < W
                     EC = jnp.where(
@@ -197,8 +210,8 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
                     ) + jnp.where((ci == 2 * cj + 1) & (cj < WN) & chas2, 0.5, 0.0)
                 else:
                     EC = ((ci == 2 * cj) & (cj < WN)).astype(jnp.float32)
-                t = jnp.dot(src_ref[0:Hb, 0:Wb], EC,
-                            preferred_element_type=jnp.float32)  # (Hb, 128)
+                t = jnp.dot(src_ref[0:Hp8, 0:Wp128], EC,
+                            preferred_element_type=jnp.float32)  # (Hp8, 128)
                 nextbase[0:HbN, cb * 128 : (cb + 1) * 128] = jnp.dot(
                     ER, t, preferred_element_type=jnp.float32
                 )
@@ -279,6 +292,13 @@ def _run(base1, taps_flat, cfg_key, interpret):
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the static-slice conv rewrite sits just past Mosaic's default
+        # 16 MB scoped-VMEM limit (scratch ~7 MB + unrolled chunk temps);
+        # v5e has 128 MB of physical VMEM — raise the cap instead of
+        # shrinking chunks (smaller chunks measured slower)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(taps_flat, base_pad)
     return outs

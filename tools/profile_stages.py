@@ -66,6 +66,31 @@ def main():
         octs = build_scale_space_jax(c, cfg)
         return {"s": [b.sum() + d.sum() for b, d in octs]}
 
+    def st_ladder0(c):
+        # octave-0 strip-ladder alone (the bulk of the pyramid's pixels)
+        from sift_pyocl_tpu.ops.pallas.ladder0 import octave0_ladder
+        from sift_pyocl_tpu.ops.pyramid import normalize_image_jax
+        pre = float(np.sqrt(cfg.init_sigma**2 - cfg.orig_sigma**2))
+        blurs0, dogs0 = octave0_ladder(
+            normalize_image_jax(c), pre, cfg.sigma_increments())
+        return {"s": [blurs0.sum(), dogs0.sum()]}
+
+    def st_smalloct(c):
+        # pyramid minus octave 0: downsample + fused small-octave ladder
+        from sift_pyocl_tpu.ops.pallas.ladder import small_octaves_ladder
+        from sift_pyocl_tpu.ops.pallas.ladder0 import octave0_ladder
+        from sift_pyocl_tpu.ops.pyramid import (downsample_octave,
+                                                normalize_image_jax)
+        pre = float(np.sqrt(cfg.init_sigma**2 - cfg.orig_sigma**2))
+        blurs0, _ = octave0_ladder(
+            normalize_image_jax(c), pre, cfg.sigma_increments())
+        octs = small_octaves_ladder(
+            downsample_octave(blurs0[cfg.scales], cfg),
+            cfg.sigma_increments(),
+            cfg.n_octaves(c.shape) - 1, cfg.scales,
+            ds_mode=cfg.downsample_mode)
+        return {"s": [b.sum() + d.sum() for b, d in octs]}
+
     def st_grad_pad(c):
         octs = build_scale_space_jax(c, cfg)
         acc = [d.sum() for _, d in octs]
@@ -119,6 +144,17 @@ def main():
         masks = [extrema_mask(d, cfg, o) for o, (_, d) in enumerate(octs)]
         idx, wr, tot = compact_masks_multi(
             masks, [cp for cp, _ in caps], interpret=cfg.pallas_interpret)
+        return {"s": acc + [idx.sum(), wr.sum(), tot.sum()]}
+
+    def st_compact256(c):
+        from sift_pyocl_tpu.ops.detect import extrema_mask
+        from sift_pyocl_tpu.ops.pallas.compact import compact_masks_multi
+        octs = build_scale_space_jax(c, cfg)
+        acc = [b.sum() for b, _ in octs]
+        masks = [extrema_mask(d, cfg, o) for o, (_, d) in enumerate(octs)]
+        idx, wr, tot = compact_masks_multi(
+            masks, [cp for cp, _ in caps], tile_rows=256, max_per_tile=512,
+            interpret=cfg.pallas_interpret)
         return {"s": acc + [idx.sum(), wr.sum(), tot.sum()]}
 
     def st_dogatlas(c):
@@ -230,9 +266,11 @@ def main():
         return {"s": [p2.ts.sum(), cost, lam2]}
 
     stages = {
-        "pyramid": st_pyramid, "grad_pad": st_grad_pad,
+        "pyramid": st_pyramid, "ladder0": st_ladder0,
+        "smalloct": st_smalloct, "grad_pad": st_grad_pad,
         "grad_atlas_xla": st_grad_atlas_xla, "grad_atlas": st_grad_atlas,
         "detect": st_detect, "mask": st_mask, "compact": st_compact,
+        "compact256": st_compact256,
         "dogatlas": st_dogatlas, "maskp": st_maskp,
         "sift": st_sift, "sift_gradxla": st_sift_gradxla,
         "vo": st_vo, "match": st_match, "pnp": st_pnp, "ba": st_ba,
