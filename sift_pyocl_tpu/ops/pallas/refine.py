@@ -203,8 +203,18 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
         pln[3] = peak
         pln[4] = jnp.where(solv, 1.0, 0.0)
 
-        def move(_, st):
-            lr, lc = st
+        def move_cond(st):
+            # early exit: a converged candidate re-samples the SAME position
+            # forever (lr, lc never change), so leaving the loop is
+            # bit-identical to running out max_moves — and the serial move
+            # chain is THE kernel cost (measured 0.34 ms per iteration at
+            # 1080p: 2.5 ms at max_moves=5, 0.8 ms at 0); most candidates
+            # converge immediately
+            i_, lr, lc, done = st
+            return jnp.logical_not(done) & (i_ < max_moves)
+
+        def move(st):
+            i_, lr, lc, _ = st
             o_r = _at_row(pln, 1, lr, lc)
             o_c = _at_row(pln, 2, lr, lc)
             converged = (jnp.abs(o_r) <= 0.6) & (jnp.abs(o_c) <= 0.6)
@@ -218,9 +228,11 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
             dc = jnp.where((dc < 0) & (ac - 1 < bd), 0, dc)
             lr = jnp.where(converged, lr, lr + dr)
             lc = jnp.where(converged, lc, lc + dc)
-            return (lr, lc)
+            return (i_ + 1, lr, lc, converged)
 
-        lr, lc = lax.fori_loop(0, max_moves, move, (lr0, lc0))
+        _, lr, lc, _ = lax.while_loop(
+            move_cond, move, (jnp.int32(0), lr0, lc0, jnp.bool_(False))
+        )
         v_s = _at_row(pln, 0, lr, lc)
         v_r = _at_row(pln, 1, lr, lc)
         v_c = _at_row(pln, 2, lr, lc)
@@ -347,8 +359,18 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
         pln[3] = peak
         pln[4] = jnp.where(solv, 1.0, 0.0)
 
-        def move(_, st):
-            lr, lc = st
+        def move_cond(st):
+            # early exit: a converged candidate re-samples the SAME position
+            # forever (lr, lc never change), so leaving the loop is
+            # bit-identical to running out max_moves — and the serial move
+            # chain is THE kernel cost (measured 0.34 ms per iteration at
+            # 1080p: 2.5 ms at max_moves=5, 0.8 ms at 0); most candidates
+            # converge immediately
+            i_, lr, lc, done = st
+            return jnp.logical_not(done) & (i_ < max_moves)
+
+        def move(st):
+            i_, lr, lc, _ = st
             o_r = _at_row(pln, 1, lr, lc)
             o_c = _at_row(pln, 2, lr, lc)
             converged = (jnp.abs(o_r) <= 0.6) & (jnp.abs(o_c) <= 0.6)
@@ -362,9 +384,11 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
             dc = jnp.where((dc < 0) & (ac - 1 < clo), 0, dc)
             lr = jnp.where(converged, lr, lr + dr)
             lc = jnp.where(converged, lc, lc + dc)
-            return (lr, lc)
+            return (i_ + 1, lr, lc, converged)
 
-        lr, lc = lax.fori_loop(0, max_moves, move, (lr0, lc0))
+        _, lr, lc, _ = lax.while_loop(
+            move_cond, move, (jnp.int32(0), lr0, lc0, jnp.bool_(False))
+        )
         v_s = _at_row(pln, 0, lr, lc)
         v_r = _at_row(pln, 1, lr, lc)
         v_c = _at_row(pln, 2, lr, lc)

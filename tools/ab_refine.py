@@ -72,16 +72,23 @@ def main():
     print("valid candidates:", int(v_cat.sum()), "of", int(v_cat.shape[0]),
           flush=True)
 
-    def step(a):
-        fs, fr, fc, peak, acc = rf.refine_atlas_pallas(
-            a, s_cat, r_cat, c_cat, v_cat, rlo, rhi, clo, chi,
-            peak_thresh=cfg.peak_thresh, max_moves=cfg.max_interp_moves,
-        )
-        return {"s": [fs.sum(), fr.sum(), fc.sum(), peak.sum(), acc.sum()]}
+    def make_step(mm):
+        def step(a):
+            fs, fr, fc, peak, acc = rf.refine_atlas_pallas(
+                a, s_cat, r_cat, c_cat, v_cat, rlo, rhi, clo, chi,
+                peak_thresh=cfg.peak_thresh, max_moves=mm,
+            )
+            return {"s": [fs.sum(), fr.sum(), fc.sum(), peak.sum(),
+                          acc.sum()]}
+        return step
 
-    for rep in range(3):
-        ms = chained_ms(step, atlas, n_hi=9, reps=1)
-        print(f"rep{rep}: {ms:.3f} ms", flush=True)
+    # max_moves sweep: if time scales with the move count, the kernel is
+    # bound by the per-candidate SERIAL move loop (scalar dependency chain),
+    # not vector throughput or DMA
+    for rep in range(2):
+        for mm in (5, 1, 0):
+            ms = chained_ms(make_step(mm), atlas, n_hi=9, reps=1)
+            print(f"rep{rep} max_moves={mm}: {ms:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
