@@ -67,6 +67,17 @@ class SiftConfig:
                                         # (fused gradient+pad kernel reading
                                         # each blur plane once) | "xla"
                                         # (gradient_planes + pad/concat)
+    desc_buckets: int = 1               # fused orient/desc launches split by
+                                        # keypoint sigma: 1 = one launch at
+                                        # the sigma_max window; 2 = small-
+                                        # sigma keypoints (the majority) get
+                                        # a second launch with a ~2x smaller
+                                        # window.  Measured NEUTRAL at the
+                                        # default config (6.42 vs 6.43 ms
+                                        # sift at 1080p — the kernel is not
+                                        # window-size bound); may pay off
+                                        # at larger `scales` where the
+                                        # sigma_max window grows
     mask_backend: str = "xla"           # extrema mask for the multi-launch
                                         # kp path: "xla" (ops.detect.
                                         # extrema_mask stencil — measured

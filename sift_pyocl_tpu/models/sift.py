@@ -221,10 +221,40 @@ def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
     ])
     sigma_cat = cfg.init_sigma * 2.0 ** (fs_cat / cfg.scales)
     win = _desc_window_size(cfg)
-    ang, ok, raw = orient_desc_fused_pallas(
-        mag_a, ori_a, s_cat, fr_cat, fc_cat, sigma_cat, valid_cat,
-        win=win, max_ori=max_ori, interpret=interp, row_off=row_off_cat,
-    )
+    use_buckets = False
+    if cfg.desc_buckets >= 2:
+        # split by keypoint sigma: the fused kernel's per-keypoint cost
+        # scales with its static window, sized for sigma_max — but fs is
+        # roughly uniform over [0.5, scales+0.5], so most keypoints fit a
+        # ~2x smaller window.  Two launches over the same slots (each
+        # skipping the other bucket via the valid mask), merged by bucket.
+        from ..ops.orient_desc import _desc_window_for_sigma
+
+        fs_split = 0.5 * (cfg.scales + 1.0)
+        sig_split = cfg.init_sigma * 2.0 ** (fs_split / cfg.scales)
+        win_s = _desc_window_for_sigma(cfg, sig_split)
+        use_buckets = win_s < win   # if the floor dominates, bucketing is
+                                    # an extra launch for nothing
+    if use_buckets:
+        small = sigma_cat <= jnp.float32(sig_split)
+        ang_s, ok_s, raw_s = orient_desc_fused_pallas(
+            mag_a, ori_a, s_cat, fr_cat, fc_cat, sigma_cat,
+            valid_cat & small, win=win_s, max_ori=max_ori,
+            interpret=interp, row_off=row_off_cat,
+        )
+        ang_l, ok_l, raw_l = orient_desc_fused_pallas(
+            mag_a, ori_a, s_cat, fr_cat, fc_cat, sigma_cat,
+            valid_cat & jnp.logical_not(small), win=win, max_ori=max_ori,
+            interpret=interp, row_off=row_off_cat,
+        )
+        ang = jnp.where(small[:, None], ang_s, ang_l)
+        ok = jnp.where(small[:, None], ok_s, ok_l)
+        raw = jnp.where(small[:, None, None], raw_s, raw_l)
+    else:
+        ang, ok, raw = orient_desc_fused_pallas(
+            mag_a, ori_a, s_cat, fr_cat, fc_cat, sigma_cat, valid_cat,
+            win=win, max_ori=max_ori, interpret=interp, row_off=row_off_cat,
+        )
     desc = quantize_descriptors(raw.reshape(-1, 128))
 
     def rep(x):

@@ -83,7 +83,15 @@ def _ori_window_size(cfg: SiftConfig) -> int:
 def _desc_window_size(cfg: SiftConfig) -> int:
     """Static descriptor window: covers radius ~ 10.61*sigma_max."""
     sigma_max = cfg.init_sigma * 2.0 ** ((cfg.scales + 1.5) / cfg.scales)
-    rad = math.sqrt(2.0) * MAG_FACTOR * sigma_max * (DESC_GRID + 1) / 2.0
+    return _desc_window_for_sigma(cfg, sigma_max)
+
+
+def _desc_window_for_sigma(cfg: SiftConfig, sigma: float) -> int:
+    """Window size covering the descriptor radius for keypoints of octave-
+    local sigma <= `sigma` (same formula as _desc_window_size; used to give
+    small-sigma keypoints a smaller fused-kernel launch — most keypoints sit
+    at the low scales and need nothing near the sigma_max window)."""
+    rad = math.sqrt(2.0) * MAG_FACTOR * sigma * (DESC_GRID + 1) / 2.0
     need = 2 * int(rad + 0.5) + 3
     return max(cfg.desc_window, (need + 7) // 8 * 8)
 

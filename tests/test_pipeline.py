@@ -115,3 +115,24 @@ def test_double_im_size_pallas_interpret(small_cfg):
     hits, desc_l1 = match_keypoint_sets(kx, kp)
     assert hits >= 0.9 * len(kx), f"{hits}/{len(kx)}"
     assert desc_l1 < 0.2
+
+
+def test_desc_buckets_pallas_interpret(small_cfg):
+    """Sigma-bucketed fused orient/desc launches (cfg.desc_buckets=2) vs the
+    single-launch path: identical keypoint sets, desc L1 = 0 (the smaller
+    window only drops exactly-zero-weight pixels; summation-tree ulps are
+    absorbed by u8 quantization)."""
+    import dataclasses
+
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    scene = synthetic_scene((160, 160), n_blobs=14, seed=3)
+    cfg_1 = dataclasses.replace(small_cfg, kp_backend="pallas",
+                                conv_backend="pallas", pallas_interpret=True)
+    cfg_2 = dataclasses.replace(cfg_1, desc_buckets=2)
+    a = SiftPlan(shape=scene.shape, config=cfg_1).keypoints(scene)
+    b = SiftPlan(shape=scene.shape, config=cfg_2).keypoints(scene)
+    assert len(a) > 10 and len(b) == len(a)
+    hits, desc_l1 = match_keypoint_sets(a, b)
+    assert hits == len(a), f"{hits}/{len(a)}"
+    assert desc_l1 == 0.0

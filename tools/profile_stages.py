@@ -188,6 +188,13 @@ def main():
         return {"s": [b.x.sum(), b.angle.sum(),
                       b.desc.astype(jnp.float32).sum(), b.valid.sum()]}
 
+    cfg_bk = SiftConfig(desc_buckets=2)
+
+    def st_sift_buckets(c):
+        b = detect_and_describe(c, cfg_bk)
+        return {"s": [b.x.sum(), b.angle.sum(),
+                      b.desc.astype(jnp.float32).sum(), b.valid.sum()]}
+
     st0 = vo_init(img, K, cfg, vo)
 
     def st_vo(c):
@@ -273,6 +280,7 @@ def main():
         "compact256": st_compact256,
         "dogatlas": st_dogatlas, "maskp": st_maskp,
         "sift": st_sift, "sift_gradxla": st_sift_gradxla,
+        "sift_buckets": st_sift_buckets,
         "vo": st_vo, "match": st_match, "pnp": st_pnp, "ba": st_ba,
         "ba_opt": st_ba_opt, "ba_blk": st_ba_blk, "ba_dense": st_ba_dense,
     }
