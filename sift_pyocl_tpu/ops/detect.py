@@ -222,6 +222,43 @@ def detect_octave(
     return refine_candidates(dogs, cands, cfg)
 
 
+def decode_compacted(octave_dogs, masks, caps, row_starts, idx_all, written,
+                     bd: int):
+    """Compacted flat mask indices -> atlas-refine candidate arrays.
+
+    Maps each octave's slice of `idx_all` (compact_masks_multi output, flat
+    row-major indices into its (S-2, H-2bd, W-2bd) mask) to per-candidate
+    (scale, atlas row, col) plus the octave's border-clamp bounds.  Shared
+    by detect_all_octaves_pallas and the refine microbench
+    (tools/ab_refine.py) so the benchmark always feeds the production
+    decode.  Returns (s, r_atlas, c, valid, rlo, rhi, clo, chi), each
+    (sum(caps),).
+    """
+    s_l, r_l, c_l, v_l = [], [], [], []
+    rlo_l, rhi_l, clo_l, chi_l = [], [], [], []
+    off = 0
+    for o, (dogs, mask, cap) in enumerate(zip(octave_dogs, masks, caps)):
+        S, H, W = dogs.shape
+        Sm, Hm, Wm = mask.shape
+        idx = lax.dynamic_slice(idx_all, (off,), (cap,))
+        off += cap
+        valid = jnp.arange(cap, dtype=jnp.int32) < written[o]
+        idx = jnp.where(valid, idx, 0)
+        s_l.append((idx // (Hm * Wm) + 1).astype(jnp.int32))
+        rem = idx % (Hm * Wm)
+        r_l.append((rem // Wm + bd + row_starts[o]).astype(jnp.int32))
+        c_l.append((rem % Wm + bd).astype(jnp.int32))
+        v_l.append(valid)
+        rlo_l.append(jnp.full((cap,), row_starts[o] + bd, jnp.int32))
+        rhi_l.append(jnp.full((cap,), row_starts[o] + H - bd, jnp.int32))
+        clo_l.append(jnp.full((cap,), bd, jnp.int32))
+        chi_l.append(jnp.full((cap,), W - bd, jnp.int32))
+    return (jnp.concatenate(s_l), jnp.concatenate(r_l),
+            jnp.concatenate(c_l), jnp.concatenate(v_l),
+            jnp.concatenate(rlo_l), jnp.concatenate(rhi_l),
+            jnp.concatenate(clo_l), jnp.concatenate(chi_l))
+
+
 def detect_all_octaves_pallas(
     octave_dogs, cfg: SiftConfig, caps, interpret: bool = False,
 ):
@@ -255,31 +292,14 @@ def detect_all_octaves_pallas(
     idx_all, written, total = compact_masks_multi(
         masks, list(caps), interpret=interpret
     )
-    s_l, r_l, c_l, v_l = [], [], [], []
-    rlo_l, rhi_l, clo_l, chi_l = [], [], [], []
-    off = 0
-    for o, (dogs, mask, cap) in enumerate(zip(octave_dogs, masks, caps)):
-        S, H, W = dogs.shape
-        Sm, Hm, Wm = mask.shape
-        idx = lax.dynamic_slice(idx_all, (off,), (cap,))
-        off += cap
-        valid = jnp.arange(cap, dtype=jnp.int32) < written[o]
-        idx = jnp.where(valid, idx, 0)
-        s_l.append((idx // (Hm * Wm) + 1).astype(jnp.int32))
-        rem = idx % (Hm * Wm)
-        r_l.append((rem // Wm + bd + row_starts[o]).astype(jnp.int32))
-        c_l.append((rem % Wm + bd).astype(jnp.int32))
-        v_l.append(valid)
-        rlo_l.append(jnp.full((cap,), row_starts[o] + bd, jnp.int32))
-        rhi_l.append(jnp.full((cap,), row_starts[o] + H - bd, jnp.int32))
-        clo_l.append(jnp.full((cap,), bd, jnp.int32))
-        chi_l.append(jnp.full((cap,), W - bd, jnp.int32))
-    s_cat = jnp.concatenate(s_l)
-    v_cat = jnp.concatenate(v_l)
+    s_cat, r_cat, c_cat, v_cat, rlo, rhi, clo, chi = decode_compacted(
+        octave_dogs, masks, caps, row_starts, idx_all, written, bd
+    )
+    offs = [sum(caps[:o]) for o in range(len(caps))]
+    s_l = [s_cat[off : off + cap] for off, cap in zip(offs, caps)]
+    v_l = [v_cat[off : off + cap] for off, cap in zip(offs, caps)]
     fs, fr_a, fc, peak, acc = refine_atlas_pallas(
-        atlas, s_cat, jnp.concatenate(r_l), jnp.concatenate(c_l), v_cat,
-        jnp.concatenate(rlo_l), jnp.concatenate(rhi_l),
-        jnp.concatenate(clo_l), jnp.concatenate(chi_l),
+        atlas, s_cat, r_cat, c_cat, v_cat, rlo, rhi, clo, chi,
         peak_thresh=cfg.peak_thresh, max_moves=cfg.max_interp_moves,
         interpret=interpret,
     )

@@ -105,18 +105,30 @@ def _kernel(oct_ref, lr0_ref, *refs, shapes, shapes_al, wp):
     oo_id = oct_ref[t]
     lr0 = lr0_ref[t]
 
-    mag_ref[0] = jnp.zeros((TR, wp), jnp.float32)
-    ori_ref[0] = jnp.zeros((TR, wp), jnp.float32)
-
     for o, ((H, W), (H8, W128)) in enumerate(zip(shapes, shapes_al)):
         inside_tile = (lr0 < H) & (lr0 + TR > 0)
         # per-octave compute width: small octaves only touch lanes
         # [0, W128 + 2*PAD_C) — computing the full atlas width for every
-        # octave measured ~0.3 ms of pure masked-zero work at 1080p
+        # octave measured ~0.3 ms of pure masked-zero work at 1080p.
+        # Exactly one branch per (octave, inside) fires per step, so the
+        # pair below covers every output lane exactly once (no
+        # unconditional full-width zero-fill + overwrite).
         wl = min(W128 + 2 * PAD_C, wp)
+
+        @pl.when((oo_id == o) & jnp.logical_not(inside_tile))
+        def _():
+            # pure-padding tile of this octave's block: the window/refine
+            # kernels DMA halo rows from here — must be zero
+            mag_ref[0] = jnp.zeros((TR, wp), jnp.float32)
+            ori_ref[0] = jnp.zeros((TR, wp), jnp.float32)
 
         @pl.when((oo_id == o) & inside_tile)
         def _(o=o, H=H, W=W, H8=H8, W128=W128, wl=wl):
+            if wl < wp:
+                mag_ref[0, 0:TR, wl:wp] = jnp.zeros((TR, wp - wl),
+                                                    jnp.float32)
+                ori_ref[0, 0:TR, wl:wp] = jnp.zeros((TR, wp - wl),
+                                                    jnp.float32)
             rows = lax.broadcasted_iota(jnp.int32, (TR, wl), 0) + lr0
             cols = lax.broadcasted_iota(jnp.int32, (TR, wl), 1) - PAD_C
             ra = jnp.clip(((lr0 - 8) // 8) * 8, 0, H8 - ROWS_F)

@@ -112,7 +112,7 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
             # ONE static roll per plane + STATIC unrolled tap slices (the
             # ladder0/maskk lesson: dynamic-shift rolls in fori_loops
             # measured ~9x slower than static slices on Mosaic — this
-            # rewrite took the small-octave ladder 1.8 -> 0.2 ms).  With
+            # rewrite took the small-octave ladder 1.8 -> 0.65 ms).  With
             # r = roll(x, half), out[c] = sum_k t_k x[c+k-half] becomes
             # sum_k t_k r[c+k]: every read is a static slice; negative
             # reads wrap into the tail margin, which edge_replicate filled

@@ -108,10 +108,15 @@ def _db_prologue(valid_ref, s_ref, r_ref, c_ref, dogs_hbm, win, sems, i):
                         sems, i + 1)
 
 
-def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
-            fs_out, fr_out, fc_out, peak_out, acc_out,
-            win, sems, pln, *, H, W, bd, peak_thresh, max_moves):
-    i = pl.program_id(0)
+def _refine_blocks(i, s_ref, r_ref, c_ref, valid_ref, bounds, dogs_hbm,
+                   fs_out, fr_out, fc_out, peak_out, acc_out,
+                   win, sems, pln, *, peak_thresh, max_moves):
+    """Shared refine body of `_kernel` / `_kernel_atlas` (their only real
+    difference is where the border clamps come from): double-buffer DMA
+    prologue, block-level skip, per-candidate dense stencil + early-exit
+    move loop.  `bounds(k)` -> (rlo, rhi, clo, chi) clamp bounds in the
+    DMA'd array's row coordinates — static image bounds for the per-octave
+    kernel, per-candidate prefetched scalars for the atlas kernel."""
     buf = i % 2
     _db_prologue(valid_ref, s_ref, r_ref, c_ref, dogs_hbm, win, sems, i)
     # block-level skip: capacity tails are fully-invalid blocks (per-octave
@@ -152,6 +157,7 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
         s = s_ref[k]
         r = r_ref[k]
         c = c_ref[k]
+        rlo, rhi, clo, chi = bounds(k)
         _window_copy(dogs_hbm, s, r, c, win.at[buf, j],
                      sems.at[buf, j]).wait()
         # local coords of the candidate center inside the window
@@ -222,162 +228,6 @@ def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
             dc = jnp.where(o_c > 0.6, 1, jnp.where(o_c < -0.6, -1, 0))
             ar = r + (lr - lr0)
             ac = c + (lc - lc0)
-            dr = jnp.where((dr > 0) & (ar + 1 >= H - bd), 0, dr)
-            dr = jnp.where((dr < 0) & (ar - 1 < bd), 0, dr)
-            dc = jnp.where((dc > 0) & (ac + 1 >= W - bd), 0, dc)
-            dc = jnp.where((dc < 0) & (ac - 1 < bd), 0, dc)
-            lr = jnp.where(converged, lr, lr + dr)
-            lc = jnp.where(converged, lc, lc + dc)
-            return (i_ + 1, lr, lc, converged)
-
-        _, lr, lc, _ = lax.while_loop(
-            move_cond, move, (jnp.int32(0), lr0, lc0, jnp.bool_(False))
-        )
-        v_s = _at_row(pln, 0, lr, lc)
-        v_r = _at_row(pln, 1, lr, lc)
-        v_c = _at_row(pln, 2, lr, lc)
-        v_p = _at_row(pln, 3, lr, lc)
-        v_ok = _at_row(pln, 4, lr, lc)
-        accept = (
-            (v_ok > 0)
-            & (jnp.abs(v_p) > peak_thresh)
-            & (jnp.abs(v_s) <= 1.5)
-            & (jnp.abs(v_r) <= 1.5)
-            & (jnp.abs(v_c) <= 1.5)
-        )
-        fs_out[k] = s.astype(jnp.float32) + v_s
-        fr_out[k] = (r + (lr - lr0)).astype(jnp.float32) + v_r
-        fc_out[k] = (c + (lc - lc0)).astype(jnp.float32) + v_c
-        peak_out[k] = v_p
-        acc_out[k] = accept.astype(jnp.int32)
-
-    @pl.when(anyv)
-    def _():
-        lax.fori_loop(0, KP_BLOCK, body, 0)
-
-
-def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
-                  clo_ref, chi_ref, dogs_hbm,
-                  fs_out, fr_out, fc_out, peak_out, acc_out,
-                  win, sems, pln, *, peak_thresh, max_moves):
-    """Atlas variant of `_kernel`: all octaves' padded DoG stacks live in ONE
-    (S, sum_o(H_o + 2 PAD_R), Wmax + 2 PAD_C) array; per-candidate rows are
-    pre-offset into the atlas and the border clamps arrive as per-candidate
-    [rlo, rhi) / [clo, chi) bounds.  One launch refines every octave — the
-    per-octave formulation paid ~0.13 ms of launch overhead per octave, and
-    the earlier branched multi-ref attempt lost to @pl.when dispatch."""
-    i = pl.program_id(0)
-    buf = i % 2
-    _db_prologue(valid_ref, s_ref, r_ref, c_ref, dogs_hbm, win, sems, i)
-    # block-level skip: capacity tails are fully-invalid blocks (per-octave
-    # validity is a prefix) — one branch instead of per-slot conds
-    anyv = valid_ref[i * KP_BLOCK] > 0
-    for j in range(1, KP_BLOCK):
-        anyv = anyv | (valid_ref[i * KP_BLOCK + j] > 0)
-
-    @pl.when(jnp.logical_not(anyv))
-    def _():
-        for j in range(KP_BLOCK):
-            k = i * KP_BLOCK + j
-            fs_out[k] = 0.0
-            fr_out[k] = 0.0
-            fc_out[k] = 0.0
-            peak_out[k] = 0.0
-            acc_out[k] = 0
-
-    def body(j, carry):
-        k = i * KP_BLOCK + j
-        ok_slot = valid_ref[k] > 0
-
-        @pl.when(jnp.logical_not(ok_slot))
-        def _():
-            fs_out[k] = 0.0
-            fr_out[k] = 0.0
-            fc_out[k] = 0.0
-            peak_out[k] = 0.0
-            acc_out[k] = 0
-
-        @pl.when(ok_slot)
-        def _():
-            _one(j, k)
-
-        return carry
-
-    def _one(j, k):
-        s = s_ref[k]
-        r = r_ref[k]
-        c = c_ref[k]
-        rlo = rlo_ref[k]
-        rhi = rhi_ref[k]
-        clo = clo_ref[k]
-        chi = chi_ref[k]
-        _window_copy(dogs_hbm, s, r, c, win.at[buf, j],
-                     sems.at[buf, j]).wait()
-        rp = r - 6 + PAD_R
-        cp = c - 6 + PAD_C
-        lr0 = rp - (rp // 8) * 8 + 6
-        lc0 = cp - (cp // 128) * 128 + 6
-
-        w0 = win[buf, j, 0]
-        w1 = win[buf, j, 1]
-        w2 = win[buf, j, 2]
-
-        def sh(x, dr, dc):
-            y = x
-            if dr:
-                y = pltpu.roll(y, (-dr) % ROWS, 0)
-            if dc:
-                y = pltpu.roll(y, (-dc) % COLS, 1)
-            return y
-
-        gs = 0.5 * (w2 - w0)
-        gr = 0.5 * (sh(w1, 1, 0) - sh(w1, -1, 0))
-        gc = 0.5 * (sh(w1, 0, 1) - sh(w1, 0, -1))
-        hss = w2 + w0 - 2.0 * w1
-        hrr = sh(w1, 1, 0) + sh(w1, -1, 0) - 2.0 * w1
-        hcc = sh(w1, 0, 1) + sh(w1, 0, -1) - 2.0 * w1
-        hsr = 0.25 * ((sh(w2, 1, 0) - sh(w2, -1, 0)) - (sh(w0, 1, 0) - sh(w0, -1, 0)))
-        hsc = 0.25 * ((sh(w2, 0, 1) - sh(w2, 0, -1)) - (sh(w0, 0, 1) - sh(w0, 0, -1)))
-        hrc = 0.25 * (sh(w1, 1, 1) - sh(w1, 1, -1) - sh(w1, -1, 1) + sh(w1, -1, -1))
-
-        a, b_, c_, d_, e_, f_ = hss, hsr, hsc, hrr, hrc, hcc
-        det = a * (d_ * f_ - e_ * e_) - b_ * (b_ * f_ - e_ * c_) + c_ * (
-            b_ * e_ - d_ * c_
-        )
-        solv = jnp.abs(det) > 1e-30
-        inv = jnp.where(solv, 1.0 / jnp.where(solv, det, 1.0), 0.0)
-        offs = -((d_ * f_ - e_ * e_) * gs + (c_ * e_ - b_ * f_) * gr
-                 + (b_ * e_ - c_ * d_) * gc) * inv
-        offr = -((e_ * c_ - b_ * f_) * gs + (a * f_ - c_ * c_) * gr
-                 + (b_ * c_ - a * e_) * gc) * inv
-        offc = -((b_ * e_ - d_ * c_) * gs + (c_ * b_ - a * e_) * gr
-                 + (a * d_ - b_ * b_) * gc) * inv
-        peak = w1 + 0.5 * (gs * offs + gr * offr + gc * offc)
-        pln[0] = offs
-        pln[1] = offr
-        pln[2] = offc
-        pln[3] = peak
-        pln[4] = jnp.where(solv, 1.0, 0.0)
-
-        def move_cond(st):
-            # early exit: a converged candidate re-samples the SAME position
-            # forever (lr, lc never change), so leaving the loop is
-            # bit-identical to running out max_moves — and the serial move
-            # chain is THE kernel cost (measured 0.34 ms per iteration at
-            # 1080p: 2.5 ms at max_moves=5, 0.8 ms at 0); most candidates
-            # converge immediately
-            i_, lr, lc, done = st
-            return jnp.logical_not(done) & (i_ < max_moves)
-
-        def move(st):
-            i_, lr, lc, _ = st
-            o_r = _at_row(pln, 1, lr, lc)
-            o_c = _at_row(pln, 2, lr, lc)
-            converged = (jnp.abs(o_r) <= 0.6) & (jnp.abs(o_c) <= 0.6)
-            dr = jnp.where(o_r > 0.6, 1, jnp.where(o_r < -0.6, -1, 0))
-            dc = jnp.where(o_c > 0.6, 1, jnp.where(o_c < -0.6, -1, 0))
-            ar = r + (lr - lr0)
-            ac = c + (lc - lc0)
             dr = jnp.where((dr > 0) & (ar + 1 >= rhi), 0, dr)
             dr = jnp.where((dr < 0) & (ar - 1 < rlo), 0, dr)
             dc = jnp.where((dc > 0) & (ac + 1 >= chi), 0, dc)
@@ -410,6 +260,36 @@ def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
     @pl.when(anyv)
     def _():
         lax.fori_loop(0, KP_BLOCK, body, 0)
+
+
+def _kernel(s_ref, r_ref, c_ref, valid_ref, dogs_hbm,
+            fs_out, fr_out, fc_out, peak_out, acc_out,
+            win, sems, pln, *, H, W, bd, peak_thresh, max_moves):
+    """Per-octave refine kernel: static (H, W, bd) border clamps."""
+    _refine_blocks(
+        pl.program_id(0), s_ref, r_ref, c_ref, valid_ref,
+        lambda k: (bd, H - bd, bd, W - bd), dogs_hbm,
+        fs_out, fr_out, fc_out, peak_out, acc_out, win, sems, pln,
+        peak_thresh=peak_thresh, max_moves=max_moves,
+    )
+
+
+def _kernel_atlas(s_ref, r_ref, c_ref, valid_ref, rlo_ref, rhi_ref,
+                  clo_ref, chi_ref, dogs_hbm,
+                  fs_out, fr_out, fc_out, peak_out, acc_out,
+                  win, sems, pln, *, peak_thresh, max_moves):
+    """Atlas variant of `_kernel`: all octaves' padded DoG stacks live in ONE
+    (S, sum_o(H_o + 2 PAD_R), Wmax + 2 PAD_C) array; per-candidate rows are
+    pre-offset into the atlas and the border clamps arrive as per-candidate
+    [rlo, rhi) / [clo, chi) bounds.  One launch refines every octave — the
+    per-octave formulation paid ~0.13 ms of launch overhead per octave, and
+    the earlier branched multi-ref attempt lost to @pl.when dispatch."""
+    _refine_blocks(
+        pl.program_id(0), s_ref, r_ref, c_ref, valid_ref,
+        lambda k: (rlo_ref[k], rhi_ref[k], clo_ref[k], chi_ref[k]), dogs_hbm,
+        fs_out, fr_out, fc_out, peak_out, acc_out, win, sems, pln,
+        peak_thresh=peak_thresh, max_moves=max_moves,
+    )
 
 
 MASK_STRIP = 32  # extrema-mask kernel strip height (32 keeps the

@@ -7,8 +7,10 @@ formulation (vmapped dynamic_slice window gathers) lowers to row-at-a-time
 gathers and dominates the frame time (~1 s at 1080p); here each keypoint
 costs two aligned DMAs plus dense VPU math on a VMEM-resident window.
 
-Kernel structure (one grid step = KP_BLOCK=8 keypoints, which both satisfies
-the (8,128) output-tile constraint and overlaps the 16 window DMAs):
+Kernel structure (one grid step = KP_BLOCK=16 keypoints, which satisfies the
+(8,128) output-tile constraint and overlaps the 2*KP_BLOCK window DMAs;
+16 measured better than 8 — per-step overhead, not per-keypoint compute,
+dominates):
 
   * gradient mag/ori planes are zero-padded once per octave (pad value 0
     reproduces the reference's out-of-image skip);

@@ -22,7 +22,7 @@ def main():
     import jax.numpy as jnp
 
     from sift_pyocl_tpu import SiftConfig
-    from sift_pyocl_tpu.ops.detect import extrema_mask
+    from sift_pyocl_tpu.ops.detect import decode_compacted, extrema_mask
     from sift_pyocl_tpu.ops.pallas.compact import compact_masks_multi
     from sift_pyocl_tpu.ops.pallas import refine as rf
     from sift_pyocl_tpu.models.sift import octave_capacities
@@ -40,35 +40,12 @@ def main():
     atlas, row_starts = rf.build_dog_atlas(dogs_l)
     masks = [extrema_mask(d, cfg, o) for o, d in enumerate(dogs_l)]
     idx_all, written, total = compact_masks_multi(masks, caps)
-
-    bd = cfg.border_dist
-    s_l, r_l, c_l, v_l = [], [], [], []
-    rlo_l, rhi_l, clo_l, chi_l = [], [], [], []
-    off = 0
-    for o, (dogs, mask, cap) in enumerate(zip(dogs_l, masks, caps)):
-        S, H, W = dogs.shape
-        Sm, Hm, Wm = mask.shape
-        idx = np.asarray(idx_all[off : off + cap])
-        off += cap
-        valid = np.arange(cap, dtype=np.int32) < int(written[o])
-        idx = np.where(valid, idx, 0)
-        s_l.append((idx // (Hm * Wm) + 1).astype(np.int32))
-        rem = idx % (Hm * Wm)
-        r_l.append((rem // Wm + bd + row_starts[o]).astype(np.int32))
-        c_l.append((rem % Wm + bd).astype(np.int32))
-        v_l.append(valid.astype(np.int32))
-        rlo_l.append(np.full((cap,), row_starts[o] + bd, np.int32))
-        rhi_l.append(np.full((cap,), row_starts[o] + H - bd, np.int32))
-        clo_l.append(np.full((cap,), bd, np.int32))
-        chi_l.append(np.full((cap,), W - bd, np.int32))
-    s_cat = jnp.asarray(np.concatenate(s_l))
-    r_cat = jnp.asarray(np.concatenate(r_l))
-    c_cat = jnp.asarray(np.concatenate(c_l))
-    v_cat = jnp.asarray(np.concatenate(v_l))
-    rlo = jnp.asarray(np.concatenate(rlo_l))
-    rhi = jnp.asarray(np.concatenate(rhi_l))
-    clo = jnp.asarray(np.concatenate(clo_l))
-    chi = jnp.asarray(np.concatenate(chi_l))
+    # the production decode (ops.detect.decode_compacted), so the bench
+    # always feeds the kernel exactly what detect_all_octaves_pallas does
+    s_cat, r_cat, c_cat, v_cat, rlo, rhi, clo, chi = decode_compacted(
+        dogs_l, masks, caps, row_starts, idx_all, written, cfg.border_dist
+    )
+    v_cat = v_cat.astype(jnp.int32)
     print("valid candidates:", int(v_cat.sum()), "of", int(v_cat.shape[0]),
           flush=True)
 
