@@ -101,13 +101,15 @@ def _best2_l2(desc1: jnp.ndarray, desc2: jnp.ndarray, valid2: jnp.ndarray):
     return d1, d2, a1
 
 
-def _best2_l2_auto(desc1, desc2, valid2):
+def _best2_l2_auto(desc1, desc2, valid2, valid1=None):
     """L2 best-2 via the fused Pallas kernel on TPU (the distance matrix
-    never touches HBM — ops/pallas/matchk.py), XLA reduction elsewhere."""
+    never touches HBM — ops/pallas/matchk.py), XLA reduction elsewhere.
+    valid1 lets the kernel skip fully-invalid query sub-tiles; skipped rows
+    return zeros, which every caller masks out with valid1."""
     from .pallas.matchk import MAX_N2, best2_l2_pallas
 
     if on_tpu() and desc2.shape[0] <= MAX_N2:
-        return best2_l2_pallas(desc1, desc2, valid2)
+        return best2_l2_pallas(desc1, desc2, valid2, valid1)
     return _best2_l2(desc1, desc2, valid2)
 
 
@@ -131,7 +133,7 @@ def match_descriptors_dense(
     if metric == "L1":
         d1, d2, i1 = _best2_l1(desc1, desc2, valid2)
     elif metric == "L2":
-        d1, d2, i1 = _best2_l2_auto(desc1, desc2, valid2)
+        d1, d2, i1 = _best2_l2_auto(desc1, desc2, valid2, valid1)
     else:
         raise ValueError(f"unknown metric {metric!r}")
     finite = d2 < jnp.float32(INT_MAX)
@@ -166,7 +168,7 @@ def match_descriptors_jax(
     if metric == "L1":
         d1, d2, i1 = _best2_l1(desc1, desc2, valid2)
     elif metric == "L2":
-        d1, d2, i1 = _best2_l2_auto(desc1, desc2, valid2)
+        d1, d2, i1 = _best2_l2_auto(desc1, desc2, valid2, valid1)
     else:
         raise ValueError(f"unknown metric {metric!r}")
     finite = d2 < jnp.float32(INT_MAX)  # at least two valid candidates

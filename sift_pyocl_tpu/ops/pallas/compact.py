@@ -47,44 +47,50 @@ def _tile_kernel(mask_ref, cnt_ref, idx_ref, *, rows: int, cols: int,
         cnt_ref[1] = 0  # true total
 
     m = mask_ref[:]  # (rows, cols) f32 0/1
-    # lane-wise inclusive prefix sum via MXU: m @ upper-tri ones
-    U = (
-        lax.broadcasted_iota(jnp.int32, (cols, cols), 0)
-        <= lax.broadcasted_iota(jnp.int32, (cols, cols), 1)
-    ).astype(jnp.float32)
-    lane_cs = jnp.dot(m, U, preferred_element_type=jnp.float32)
-    rowsum = lane_cs[:, cols - 1 : cols]
-    TR = (
-        lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-        > lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    ).astype(jnp.float32)
-    rowoff = jnp.dot(TR, rowsum, preferred_element_type=jnp.float32)
-    rank = (lane_cs + rowoff).astype(jnp.int32)  # 1-indexed rank of set bits
-
     cnt = jnp.sum(m).astype(jnp.int32)
-    base = cnt_ref[0]
-    gidx = (
-        lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
-        + lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-        + t * (rows * cols)
-    )
-    on = m > 0
-    # dynamic-bound loop: only `cnt` extraction steps actually execute —
-    # the earlier unrolled @pl.when ladder paid a branch per (tile, slot)
-    # pair even when predicated off (~1 ms of the 1080p detect path)
-    n_extract = jnp.minimum(jnp.minimum(cnt, max_per_tile), cap - base)
 
-    def extract(j, carry):
-        sel = on & (rank == j + 1)
-        idx_ref[base + j] = jnp.sum(jnp.where(sel, gidx, 0)).astype(
-            jnp.int32
+    # empty-tile skip: extrema masks are ~0.01-0.1% dense, so almost every
+    # tile has no set bits — one cheap reduction gates out both MXU prefix
+    # matmuls and the extraction loop (round-2 perf)
+    @pl.when(cnt > 0)
+    def _():
+        # lane-wise inclusive prefix sum via MXU: m @ upper-tri ones
+        U = (
+            lax.broadcasted_iota(jnp.int32, (cols, cols), 0)
+            <= lax.broadcasted_iota(jnp.int32, (cols, cols), 1)
+        ).astype(jnp.float32)
+        lane_cs = jnp.dot(m, U, preferred_element_type=jnp.float32)
+        rowsum = lane_cs[:, cols - 1 : cols]
+        TR = (
+            lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+            > lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        ).astype(jnp.float32)
+        rowoff = jnp.dot(TR, rowsum, preferred_element_type=jnp.float32)
+        rank = (lane_cs + rowoff).astype(jnp.int32)  # 1-indexed bit rank
+
+        base = cnt_ref[0]
+        gidx = (
+            lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
+            + lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+            + t * (rows * cols)
         )
-        return carry
+        on = m > 0
+        # dynamic-bound loop: only `cnt` extraction steps actually execute —
+        # the earlier unrolled @pl.when ladder paid a branch per (tile, slot)
+        # pair even when predicated off (~1 ms of the 1080p detect path)
+        n_extract = jnp.minimum(jnp.minimum(cnt, max_per_tile), cap - base)
 
-    lax.fori_loop(0, n_extract, extract, 0)
+        def extract(j, carry):
+            sel = on & (rank == j + 1)
+            idx_ref[base + j] = jnp.sum(jnp.where(sel, gidx, 0)).astype(
+                jnp.int32
+            )
+            return carry
 
-    cnt_ref[0] = jnp.minimum(base + jnp.minimum(cnt, max_per_tile), cap)
-    cnt_ref[1] = cnt_ref[1] + cnt
+        lax.fori_loop(0, n_extract, extract, 0)
+
+        cnt_ref[0] = jnp.minimum(base + jnp.minimum(cnt, max_per_tile), cap)
+        cnt_ref[1] = cnt_ref[1] + cnt
 
 
 @functools.partial(
@@ -157,43 +163,47 @@ def _multi_tile_kernel(toct_ref, tbase_ref, cap_ref, outoff_ref, mask_ref,
 
     o = toct_ref[t]
     m = mask_ref[:]
-    U = (
-        lax.broadcasted_iota(jnp.int32, (cols, cols), 0)
-        <= lax.broadcasted_iota(jnp.int32, (cols, cols), 1)
-    ).astype(jnp.float32)
-    lane_cs = jnp.dot(m, U, preferred_element_type=jnp.float32)
-    rowsum = lane_cs[:, cols - 1 : cols]
-    TR = (
-        lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-        > lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    ).astype(jnp.float32)
-    rowoff = jnp.dot(TR, rowsum, preferred_element_type=jnp.float32)
-    rank = (lane_cs + rowoff).astype(jnp.int32)
-
     cnt = jnp.sum(m).astype(jnp.int32)
-    base = cnt_ref[o]
-    cap_o = cap_ref[o]
-    obase = outoff_ref[o]
-    gidx = (
-        lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
-        + lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-        + tbase_ref[t]
-    )
-    on = m > 0
-    # dynamic-bound extraction (see _tile_kernel): only `cnt` steps run
-    n_extract = jnp.minimum(jnp.minimum(cnt, max_per_tile), cap_o - base)
 
-    def extract(j, carry):
-        sel = on & (rank == j + 1)
-        idx_ref[obase + base + j] = jnp.sum(
-            jnp.where(sel, gidx, 0)
-        ).astype(jnp.int32)
-        return carry
+    # empty-tile skip (see _tile_kernel): gate the MXU ranking on any bits
+    @pl.when(cnt > 0)
+    def _():
+        U = (
+            lax.broadcasted_iota(jnp.int32, (cols, cols), 0)
+            <= lax.broadcasted_iota(jnp.int32, (cols, cols), 1)
+        ).astype(jnp.float32)
+        lane_cs = jnp.dot(m, U, preferred_element_type=jnp.float32)
+        rowsum = lane_cs[:, cols - 1 : cols]
+        TR = (
+            lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+            > lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        ).astype(jnp.float32)
+        rowoff = jnp.dot(TR, rowsum, preferred_element_type=jnp.float32)
+        rank = (lane_cs + rowoff).astype(jnp.int32)
 
-    lax.fori_loop(0, n_extract, extract, 0)
+        base = cnt_ref[o]
+        cap_o = cap_ref[o]
+        obase = outoff_ref[o]
+        gidx = (
+            lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
+            + lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+            + tbase_ref[t]
+        )
+        on = m > 0
+        # dynamic-bound extraction (see _tile_kernel): only `cnt` steps run
+        n_extract = jnp.minimum(jnp.minimum(cnt, max_per_tile), cap_o - base)
 
-    cnt_ref[o] = jnp.minimum(base + jnp.minimum(cnt, max_per_tile), cap_o)
-    cnt_ref[n_oct + o] = cnt_ref[n_oct + o] + cnt
+        def extract(j, carry):
+            sel = on & (rank == j + 1)
+            idx_ref[obase + base + j] = jnp.sum(
+                jnp.where(sel, gidx, 0)
+            ).astype(jnp.int32)
+            return carry
+
+        lax.fori_loop(0, n_extract, extract, 0)
+
+        cnt_ref[o] = jnp.minimum(base + jnp.minimum(cnt, max_per_tile), cap_o)
+        cnt_ref[n_oct + o] = cnt_ref[n_oct + o] + cnt
 
 
 def compact_masks_multi(masks, caps, tile_rows: int = 64,

@@ -10,6 +10,20 @@ descriptor set-2 panel resident in VMEM, and reduces best / second-best /
 argbest in-register before anything touches HBM.  Outputs are three (N1,)
 vectors — the distance matrix never exists in memory.
 
+Round-2 perf passes (all bit-preserving):
+  * sub-tile skip — `valid1` flags are reduced to one any-valid scalar per
+    SUB query rows (scalar-prefetched); a fully-invalid sub-tile skips its
+    matmul and reductions entirely.  Keypoint buffers are mostly-empty
+    static-capacity slabs (1-2K valid of ~8K slots at VO shapes), so this
+    removes the majority of the work.  Skipped rows emit zeros — every
+    caller gates on valid1, so those lanes are dead by contract.
+  * bf16 MXU panels when both descriptor sets are uint8 — u8 values are
+    exact in bf16, each product (< 2^16) is exact in the MXU's f32
+    accumulator, and the 128-term dot (< 2^23) stays exactly representable:
+    bit-identical distances at twice the MXU issue rate.
+  * valid2 folded into the ||b||^2 row as +inf — an invalid column's
+    distance is +inf by arithmetic, dropping the per-tile validity where.
+
 Numerics and tie-breaking match _best2_l2 exactly: squared-L2 via
 ||a||^2 + ||b||^2 - 2ab in f32, invalid columns = +inf, argmin = first
 occurrence (lowest index), second-best excludes the argmin column only.
@@ -35,27 +49,38 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(a_ref, bt_ref, nb_ref, v2_ref, d1_ref, d2_ref, i1_ref):
-    bt = bt_ref[:]                                 # (128, N2) f32, resident
-    n2 = bt.shape[1]
+def _kernel(v1s_ref, a_ref, bt_ref, nb_ref, d1_ref, d2_ref, i1_ref):
+    i = pl.program_id(0)
+    bt = bt_ref[:]                                 # (128, N2), resident
     big = jnp.int32(2**30)
     rows8 = lax.broadcasted_iota(jnp.int32, (TILE1 // SUB, SUB), 0)
     d1o = jnp.zeros((TILE1 // SUB, SUB), jnp.float32)
     d2o = jnp.zeros((TILE1 // SUB, SUB), jnp.float32)
     i1o = jnp.zeros((TILE1 // SUB, SUB), jnp.int32)
     for sub in range(TILE1 // SUB):
-        a = a_ref[sub * SUB : (sub + 1) * SUB, :]  # (SUB, 128)
-        ab = jnp.dot(a, bt, preferred_element_type=jnp.float32)   # MXU
-        na = jnp.sum(a * a, axis=1, keepdims=True)
-        dist = na + nb_ref[:] - 2.0 * ab           # (SUB, N2)
-        dist = jnp.where(v2_ref[:] > 0, jnp.maximum(dist, 0.0), jnp.inf)
-        d1 = jnp.min(dist, axis=1)                 # (SUB,)
-        col = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-        i1 = jnp.min(jnp.where(dist == d1[:, None], col, big), axis=1)
-        d2 = jnp.min(jnp.where(col == i1[:, None], jnp.inf, dist), axis=1)
-        d1o = jnp.where(rows8 == sub, d1[None, :], d1o)
-        d2o = jnp.where(rows8 == sub, d2[None, :], d2o)
-        i1o = jnp.where(rows8 == sub, i1[None, :], i1o)
+
+        def do_sub(ops, sub=sub):
+            d1o, d2o, i1o = ops
+            a = a_ref[sub * SUB : (sub + 1) * SUB, :]  # (SUB, 128)
+            ab = jnp.dot(a, bt, preferred_element_type=jnp.float32)  # MXU
+            a32 = a.astype(jnp.float32)
+            na = jnp.sum(a32 * a32, axis=1, keepdims=True)
+            # nb carries +inf at invalid/padded columns -> dist = +inf there
+            dist = jnp.maximum(na + nb_ref[:] - 2.0 * ab, 0.0)  # (SUB, N2)
+            d1 = jnp.min(dist, axis=1)                 # (SUB,)
+            col = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+            i1 = jnp.min(jnp.where(dist == d1[:, None], col, big), axis=1)
+            d2 = jnp.min(jnp.where(col == i1[:, None], jnp.inf, dist), axis=1)
+            return (
+                jnp.where(rows8 == sub, d1[None, :], d1o),
+                jnp.where(rows8 == sub, d2[None, :], d2o),
+                jnp.where(rows8 == sub, i1[None, :], i1o),
+            )
+
+        d1o, d2o, i1o = lax.cond(
+            v1s_ref[i * (TILE1 // SUB) + sub] > 0,
+            do_sub, lambda ops: ops, (d1o, d2o, i1o),
+        )
     d1_ref[:] = d1o
     d2_ref[:] = d2o
     i1_ref[:] = i1o
@@ -63,11 +88,15 @@ def _kernel(a_ref, bt_ref, nb_ref, v2_ref, d1_ref, d2_ref, i1_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def best2_l2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
-                    valid2: jnp.ndarray, interpret: bool = False):
+                    valid2: jnp.ndarray, valid1: jnp.ndarray = None,
+                    interpret: bool = False):
     """(best, second-best, argbest) of squared-L2 distances per desc1 row.
 
     desc1 (N1,128) u8/f32, desc2 (N2,128) u8/f32, valid2 (N2,) bool.
-    Returns (d1 (N1,) f32, d2 (N1,) f32, i1 (N1,) int32) — drop-in for
+    valid1 (N1,) bool, optional: rows whose 128-row sub-tile is entirely
+    invalid are skipped and return (0, 0, 0) — callers must gate on valid1
+    (they all do).  Without valid1 every row is computed.  Returns (d1
+    (N1,) f32, d2 (N1,) f32, i1 (N1,) int32) — drop-in for
     ops.match._best2_l2 (parity: tests/test_match.py).
     """
     n1, d = desc1.shape
@@ -75,38 +104,50 @@ def best2_l2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
     assert d == 128 and n2 <= MAX_N2
     n1p = _round_up(max(n1, TILE1), TILE1)
     n2p = _round_up(max(n2, 128), 128)
-    a = jnp.zeros((n1p, 128), jnp.float32).at[:n1].set(
-        desc1.astype(jnp.float32))
-    bt = jnp.zeros((128, n2p), jnp.float32).at[:, :n2].set(
-        desc2.astype(jnp.float32).T)
-    nb = jnp.zeros((1, n2p), jnp.float32).at[0, :n2].set(
-        jnp.sum(desc2.astype(jnp.float32) ** 2, axis=1))
-    v2 = jnp.zeros((1, n2p), jnp.float32).at[0, :n2].set(
-        valid2.astype(jnp.float32))
+    # u8 descriptors ride the MXU as bf16 (bit-exact, see module docstring)
+    mxu_dt = (
+        jnp.bfloat16
+        if desc1.dtype == jnp.uint8 and desc2.dtype == jnp.uint8
+        else jnp.float32
+    )
+    a = jnp.zeros((n1p, 128), mxu_dt).at[:n1].set(desc1.astype(mxu_dt))
+    bt = jnp.zeros((128, n2p), mxu_dt).at[:, :n2].set(
+        desc2.astype(mxu_dt).T)
+    b32 = desc2.astype(jnp.float32)
+    nb = jnp.full((1, n2p), jnp.inf, jnp.float32).at[0, :n2].set(
+        jnp.where(valid2, jnp.sum(b32 * b32, axis=1), jnp.inf))
+    if valid1 is None:
+        v1s = jnp.ones((n1p // SUB,), jnp.int32)
+    else:
+        v1p = jnp.zeros((n1p,), jnp.bool_).at[:n1].set(valid1)
+        v1s = jnp.any(v1p.reshape(-1, SUB), axis=1).astype(jnp.int32)
 
     grid = n1p // TILE1
     rows = TILE1 // SUB
-    d1, d2, i1 = pl.pallas_call(
-        _kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE1, 128), lambda i: (i, 0)),
-            pl.BlockSpec((128, n2p), lambda i: (0, 0)),   # resident panel
-            pl.BlockSpec((1, n2p), lambda i: (0, 0)),
-            pl.BlockSpec((1, n2p), lambda i: (0, 0)),
+            pl.BlockSpec((TILE1, 128), lambda i, *_: (i, 0)),
+            pl.BlockSpec((128, n2p), lambda i, *_: (0, 0)),  # resident panel
+            pl.BlockSpec((1, n2p), lambda i, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((rows, SUB), lambda i: (i, 0)),
-            pl.BlockSpec((rows, SUB), lambda i: (i, 0)),
-            pl.BlockSpec((rows, SUB), lambda i: (i, 0)),
+            pl.BlockSpec((rows, SUB), lambda i, *_: (i, 0)),
+            pl.BlockSpec((rows, SUB), lambda i, *_: (i, 0)),
+            pl.BlockSpec((rows, SUB), lambda i, *_: (i, 0)),
         ],
+    )
+    d1, d2, i1 = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n1p // SUB, SUB), jnp.float32),
             jax.ShapeDtypeStruct((n1p // SUB, SUB), jnp.float32),
             jax.ShapeDtypeStruct((n1p // SUB, SUB), jnp.int32),
         ],
         interpret=interpret,
-    )(a, bt, nb, v2)
+    )(v1s, a, bt, nb)
     return (
         d1.reshape(-1)[:n1],
         d2.reshape(-1)[:n1],

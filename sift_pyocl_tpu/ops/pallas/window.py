@@ -411,17 +411,12 @@ def _lane_scalar(row, idx, width=128):
     return jnp.sum(jnp.where(lane == idx, row, 0.0))
 
 
-def _kp_orient_desc(mw, ow, fro, fco, sig, C_ref, *, win, max_ori):
-    """Shared per-keypoint compute of the fused kernels: orientation
-    histogram over the window, in-kernel smoothing/peak/parabolic tail
-    (circulant matmuls against C_ref), and one descriptor per accepted
-    orientation.  `fro`/`fco` are the keypoint's subpixel offsets from the
+def _kp_hist_row(mw, ow, fro, fco, sig, *, win):
+    """Per-keypoint 36-bin orientation histogram as a (1, 128) row (lanes
+    [0, 36)).  `fro`/`fco` are the keypoint's subpixel offsets from the
     window origin (fr - rs, fc - cs) in OCTAVE-LOCAL coordinates — keeping
     them separate from the (possibly atlas-offset) DMA row preserves exact
-    f32 coordinates when one launch serves every octave.  Returns (aux_row
-    (1,128): lanes [0,max_ori) angles, [8,8+max_ori) ok flags; drow
-    (1, max_ori*128) raw descriptor)."""
-    DW = max_ori * 128
+    f32 coordinates when one launch serves every octave."""
     rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
         jnp.float32) - fro
     cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
@@ -439,28 +434,48 @@ def _kp_orient_desc(mw, ow, fro, fco, sig, C_ref, *, win, max_ori):
     b = jnp.clip(b, 0, N_ORI_BINS - 1)
     hvals = [(kk, jnp.sum(jnp.where(b == kk, wgt, 0.0)))
              for kk in range(N_ORI_BINS)]
-    hrow = _scalar_row(hvals, 128)
+    return _scalar_row(hvals, 128)
 
-    hs = jnp.dot(hrow, C_ref[0], preferred_element_type=jnp.float32)
-    left = jnp.dot(hs, C_ref[1], preferred_element_type=jnp.float32)
-    right = jnp.dot(hs, C_ref[2], preferred_element_type=jnp.float32)
-    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+def _block_ori_tail(H, validcol, C_ref, max_ori: int):
+    """Block-vectorized orientation tail: smoothing / peak / parabolic
+    refinement for ALL keypoints of the block at once.
+
+    Round-2 perf: this used to run per keypoint inside the fori_loop — a
+    serial chain of 3 tiny (1,128) matmuls plus ~6 scalar reductions per
+    orientation, 16x over.  Row-wise it is 3 MXU matmuls and a handful of
+    axis-1 reductions total; each row's dot products and reductions see the
+    same values in the same order, so the results are bit-identical to the
+    per-keypoint formulation.
+
+    H: (B, 128) histograms (rows of invalid slots must be zero).
+    validcol: (B, 1) f32 1/0 slot-validity (zeroes the aux packing of
+    invalid slots exactly like the old skipped-slot behavior).
+    Returns (ANG (B, max_ori), OKF (B, max_ori) f32 1/0).
+    """
+    B = H.shape[0]
+    HS = jnp.dot(H, C_ref[0], preferred_element_type=jnp.float32)
+    LEFT = jnp.dot(HS, C_ref[1], preferred_element_type=jnp.float32)
+    RIGHT = jnp.dot(HS, C_ref[2], preferred_element_type=jnp.float32)
+    lane = lax.broadcasted_iota(jnp.int32, (B, 128), 1)
     vlane = lane < N_ORI_BINS
     ninf = jnp.float32(-jnp.inf)
-    hmax = jnp.max(jnp.where(vlane, hs, ninf))
+    hmax = jnp.max(jnp.where(vlane, HS, ninf), axis=1, keepdims=True)
     is_peak = (
-        (hs >= 0.8 * hmax) & (hs > left) & (hs > right)
+        (HS >= 0.8 * hmax) & (HS > LEFT) & (HS > RIGHT)
         & (hmax > 0) & vlane
     )
-    score = jnp.where(is_peak, hs, ninf)
+    score = jnp.where(is_peak, HS, ninf)
     angs, oks = [], []
     for _o in range(max_ori):
-        m = jnp.max(score)
-        bsel = jnp.min(jnp.where(score == m, lane, 999))  # tie: min index
+        m = jnp.max(score, axis=1, keepdims=True)
+        bsel = jnp.min(jnp.where(score == m, lane, 999), axis=1,
+                       keepdims=True)  # tie: min index
         okk = jnp.isfinite(m)
-        l = _lane_scalar(left, bsel)
-        rg = _lane_scalar(right, bsel)
-        h = _lane_scalar(hs, bsel)
+        sel = lane == bsel
+        l = jnp.sum(jnp.where(sel, LEFT, 0.0), axis=1, keepdims=True)
+        rg = jnp.sum(jnp.where(sel, RIGHT, 0.0), axis=1, keepdims=True)
+        h = jnp.sum(jnp.where(sel, HS, 0.0), axis=1, keepdims=True)
         denom = l - 2.0 * h + rg
         off = jnp.where(
             denom != 0.0,
@@ -477,61 +492,58 @@ def _kp_orient_desc(mw, ow, fro, fco, sig, C_ref, *, win, max_ori):
                         ang - np.float32(2 * np.pi), ang)
         ang = jnp.where(ang <= np.float32(-np.pi),
                         ang + np.float32(2 * np.pi), ang)
-        angs.append(ang)
-        oks.append(okk)
-        score = jnp.where(lane == bsel, ninf, score)
+        angs.append(ang * validcol)
+        oks.append(okk.astype(jnp.float32) * validcol)
+        score = jnp.where(sel, ninf, score)
+    return (
+        jnp.concatenate(angs, axis=1),
+        jnp.concatenate(oks, axis=1),
+    )
 
+
+def _kp_descriptor(mw, ow, fro, fco, sig, angle, drow, *, win, max_ori,
+                   o: int):
+    """Accumulate keypoint slot `o`'s raw 128-bin descriptor into drow
+    (1, max_ori*128) at lane offset o*128."""
+    DW = max_ori * 128
+    rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
+        jnp.float32) - fro
+    cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
+        jnp.float32) - fco
+    lane_ok = lax.broadcasted_iota(jnp.int32, (win, 128), 1) < win
     spacing_base = np.float32(MAG_FACTOR) * sig
-    drow = jnp.zeros((1, DW), jnp.float32)
-    for o in range(max_ori):
-
-        def desc_one(drow, angle=None, o=o):
-            cos_t = jnp.cos(angle)
-            sin_t = jnp.sin(angle)
-            rrot = (cos_t * rr + sin_t * cc) / spacing_base
-            crot = (-sin_t * rr + cos_t * cc) / spacing_base
-            rbin = rrot + np.float32(DESC_GRID / 2.0 - 0.5)
-            cbin = crot + np.float32(DESC_GRID / 2.0 - 0.5)
-            inside = (
-                (rbin > -1.0) & (rbin < DESC_GRID)
-                & (cbin > -1.0) & (cbin < DESC_GRID)
-                & lane_ok
-            )
-            gw = jnp.exp(
-                -(rrot * rrot + crot * crot)
-                / np.float32(2.0 * (0.5 * DESC_GRID) ** 2)
-            )
-            mm = gw * mw * inside
-            obin = (ow - angle) * np.float32(DESC_ORI / (2 * np.pi))
-            obin = obin - jnp.floor(obin / DESC_ORI) * DESC_ORI
-            Cs = []
+    cos_t = jnp.cos(angle)
+    sin_t = jnp.sin(angle)
+    rrot = (cos_t * rr + sin_t * cc) / spacing_base
+    crot = (-sin_t * rr + cos_t * cc) / spacing_base
+    rbin = rrot + np.float32(DESC_GRID / 2.0 - 0.5)
+    cbin = crot + np.float32(DESC_GRID / 2.0 - 0.5)
+    inside = (
+        (rbin > -1.0) & (rbin < DESC_GRID)
+        & (cbin > -1.0) & (cbin < DESC_GRID)
+        & lane_ok
+    )
+    gw = jnp.exp(
+        -(rrot * rrot + crot * crot)
+        / np.float32(2.0 * (0.5 * DESC_GRID) ** 2)
+    )
+    mm = gw * mw * inside
+    obin = (ow - angle) * np.float32(DESC_ORI / (2 * np.pi))
+    obin = obin - jnp.floor(obin / DESC_ORI) * DESC_ORI
+    Cs = []
+    for oo in range(DESC_ORI):
+        do = jnp.abs(obin - oo)
+        do = jnp.minimum(do, DESC_ORI - do)
+        Cs.append(mm * jnp.maximum(0.0, 1.0 - do))
+    vals = []
+    for ri in range(DESC_GRID):
+        wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - ri))
+        for cj in range(DESC_GRID):
+            wrc = wr * jnp.maximum(0.0, 1.0 - jnp.abs(cbin - cj))
             for oo in range(DESC_ORI):
-                do = jnp.abs(obin - oo)
-                do = jnp.minimum(do, DESC_ORI - do)
-                Cs.append(mm * jnp.maximum(0.0, 1.0 - do))
-            vals = []
-            for ri in range(DESC_GRID):
-                wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - ri))
-                for cj in range(DESC_GRID):
-                    wrc = wr * jnp.maximum(0.0, 1.0 - jnp.abs(cbin - cj))
-                    for oo in range(DESC_ORI):
-                        idx = (
-                            o * 128
-                            + (ri * DESC_GRID + cj) * DESC_ORI + oo
-                        )
-                        vals.append((idx, jnp.sum(wrc * Cs[oo])))
-            return drow + _scalar_row(vals, DW)
-
-        drow = lax.cond(
-            oks[o],
-            functools.partial(desc_one, angle=angs[o]),
-            lambda d: d,
-            drow,
-        )
-
-    aux_vals = [(o, angs[o]) for o in range(max_ori)]
-    aux_vals += [(8 + o, oks[o].astype(jnp.float32)) for o in range(max_ori)]
-    return _scalar_row(aux_vals, 128), drow
+                idx = o * 128 + (ri * DESC_GRID + cj) * DESC_ORI + oo
+                vals.append((idx, jnp.sum(wrc * Cs[oo])))
+    return drow + _scalar_row(vals, DW)
 
 
 
@@ -556,29 +568,75 @@ def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fro_ref, fco_ref, sig_ref,
         _start_window_dmas(valid_ref, s_ref, rs_ref, cs_ref, mag_hbm,
                            ori_hbm, magw, oriw, sems, i, rows_f)
 
-        def body(j, acc):
+        # Phase A: per-keypoint dense histograms (windows stay in scratch).
+        def hist_body(j, H):
             k = i * KP_BLOCK + j
 
-            def compute(acc):
-                aux_acc, desc_acc = acc
+            def compute(H):
                 mw, ow = _wait_windows(s_ref, rs_ref, cs_ref, mag_hbm,
                                        ori_hbm, magw, oriw, sems, j, k,
                                        rows_f, win)
-                aux_row, drow = _kp_orient_desc(
-                    mw, ow, fro_ref[k], fco_ref[k],
-                    sig_ref[k], C_ref, win=win, max_ori=max_ori,
-                )
-                aux_acc = _select_row(aux_acc, j, aux_row)
-                desc_acc = _select_row(desc_acc, j, drow)
-                return (aux_acc, desc_acc)
+                hrow = _kp_hist_row(mw, ow, fro_ref[k], fco_ref[k],
+                                    sig_ref[k], win=win)
+                return _select_row(H, j, hrow)
 
-            return lax.cond(valid_ref[k] > 0, compute, lambda a: a, acc)
+            return lax.cond(valid_ref[k] > 0, compute, lambda H: H, H)
 
-        aux0 = jnp.zeros((KP_BLOCK, 128), jnp.float32)
-        desc0 = jnp.zeros((KP_BLOCK, DW), jnp.float32)
-        aux, desc = lax.fori_loop(0, KP_BLOCK, body, (aux0, desc0))
+        H = lax.fori_loop(
+            0, KP_BLOCK, hist_body, jnp.zeros((KP_BLOCK, 128), jnp.float32)
+        )
+
+        # Phase B: block-vectorized smoothing/peak/parabolic tail.
+        rowi1 = lax.broadcasted_iota(jnp.int32, (KP_BLOCK, 1), 0)
+        vv = jnp.zeros((KP_BLOCK, 1), jnp.float32)
+        for j in range(KP_BLOCK):
+            vj = jnp.where(valid_ref[i * KP_BLOCK + j] > 0, 1.0, 0.0)
+            vv = jnp.where(rowi1 == j, vj, vv)
+        ANG, OKF = _block_ori_tail(H, vv, C_ref, max_ori)
+
+        lane = lax.broadcasted_iota(jnp.int32, (KP_BLOCK, 128), 1)
+        aux = jnp.zeros((KP_BLOCK, 128), jnp.float32)
+        for o in range(max_ori):
+            aux = jnp.where(lane == o, ANG[:, o:o + 1], aux)
+            aux = jnp.where(lane == 8 + o, OKF[:, o:o + 1], aux)
         aux_ref[:] = aux
-        desc_ref[:] = desc
+
+        # Phase C: per-(keypoint, orientation) descriptors; windows are
+        # re-aligned from the scratch blocks (already DMA'd and waited).
+        rowi = lax.broadcasted_iota(jnp.int32, (KP_BLOCK, max_ori), 0)
+        coli = lax.broadcasted_iota(jnp.int32, (KP_BLOCK, max_ori), 1)
+
+        def desc_body(j, desc_acc):
+            k = i * KP_BLOCK + j
+
+            def compute(desc_acc):
+                rs = rs_ref[k] + PAD_R
+                cs = cs_ref[k] + PAD_C
+                mw = _align_window(magw[j], rs, cs, win)
+                ow = _align_window(oriw[j], rs, cs, win)
+                drow = jnp.zeros((1, DW), jnp.float32)
+                for o in range(max_ori):
+                    sel = (rowi == j) & (coli == o)
+                    ang_jo = jnp.sum(jnp.where(sel, ANG, 0.0))
+                    ok_jo = jnp.sum(jnp.where(sel, OKF, 0.0)) > 0.5
+                    drow = lax.cond(
+                        ok_jo,
+                        functools.partial(
+                            _kp_descriptor, mw, ow, fro_ref[k], fco_ref[k],
+                            sig_ref[k], ang_jo, win=win, max_ori=max_ori,
+                            o=o,
+                        ),
+                        lambda d: d,
+                        drow,
+                    )
+                return _select_row(desc_acc, j, drow)
+
+            return lax.cond(valid_ref[k] > 0, compute,
+                            lambda d: d, desc_acc)
+
+        desc_ref[:] = lax.fori_loop(
+            0, KP_BLOCK, desc_body, jnp.zeros((KP_BLOCK, DW), jnp.float32)
+        )
 
 
 @functools.partial(

@@ -128,3 +128,43 @@ def test_pallas_best2_degenerate():
         if nvalid:
             np.testing.assert_allclose(np.asarray(p1), np.asarray(x1), rtol=1e-6)
             np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+def test_pallas_best2_valid1_skip(desc_pair):
+    """valid1 sub-tile skip: valid rows bit-identical to the full run,
+    rows in fully-invalid sub-tiles return zeros (callers gate on valid1)."""
+    from sift_pyocl_tpu.ops.pallas.matchk import SUB, best2_l2_pallas
+
+    d1s, d2s, _perm = desc_pair
+    rng = np.random.default_rng(5)
+    n1 = len(d1s)
+    valid2 = jnp.asarray(rng.uniform(size=len(d2s)) < 0.8)
+    # valid rows only in the first sub-tile; everything later is skippable
+    valid1 = np.zeros(max(n1, 2 * SUB), bool)
+    valid1[: min(n1, 40)] = True
+    a = jnp.asarray(np.resize(np.array(d1s), (len(valid1), 128)))
+    b = jnp.asarray(d2s)
+    f1, f2, fi = best2_l2_pallas(a, b, valid2, interpret=True)
+    p1, p2, pi = best2_l2_pallas(a, b, valid2, jnp.asarray(valid1),
+                                 interpret=True)
+    sl = np.flatnonzero(valid1)
+    np.testing.assert_array_equal(np.asarray(p1)[sl], np.asarray(f1)[sl])
+    np.testing.assert_array_equal(np.asarray(pi)[sl], np.asarray(fi)[sl])
+    # a row beyond every valid sub-tile must come back zeroed
+    assert float(p1[-1]) == 0.0 and int(pi[-1]) == 0
+
+
+def test_pallas_best2_bf16_u8_exact(desc_pair):
+    """u8 descriptors through the bf16 MXU path == the f32 XLA reduction
+    bit-for-bit (u8 values, products and 128-term sums are all exact)."""
+    from sift_pyocl_tpu.ops.match import _best2_l2
+    from sift_pyocl_tpu.ops.pallas.matchk import best2_l2_pallas
+
+    rng = np.random.default_rng(6)
+    a = jnp.asarray(rng.integers(0, 256, (300, 128)), jnp.uint8)
+    b = jnp.asarray(rng.integers(0, 256, (200, 128)), jnp.uint8)
+    v2 = jnp.asarray(rng.uniform(size=200) < 0.9)
+    x1, x2, xi = _best2_l2(a, b, v2)
+    p1, p2, pi = best2_l2_pallas(a, b, v2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(x1))
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
