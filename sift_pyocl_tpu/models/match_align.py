@@ -178,9 +178,11 @@ class LinearAlign:
         reverse-direction ratio test (reference kwarg).
         relative: fit against the previous frame's keypoints and compose the
         transform (video stabilization mode; reference kwarg).
-        orsa: accepted for signature parity; the reference never implemented
-        it either (SURVEY.md §2.3) — robust fitting here comes from the
-        ratio test + median/lstsq (and sfm.ransac for full RANSAC).
+        orsa: robust outlier rejection.  The reference accepted this kwarg
+        but never implemented it (SURVEY.md §2.3 *(verify)*); here it runs a
+        real RANSAC affine fit (sfm.ransac.ransac_affine) and keeps only the
+        inlier matches before the final fit — a strict improvement with the
+        same signature.
         """
         base_kp = self.ref_kp
         kp = self.sift.keypoints(np.asarray(img))
@@ -198,6 +200,20 @@ class LinearAlign:
             [base_kp["y"][idx[:, 0]], base_kp["x"][idx[:, 0]]], axis=1
         )
         p_img = np.stack([kp["y"][idx[:, 1]], kp["x"][idx[:, 1]]], axis=1)
+        if orsa and len(idx) >= 4:
+            import jax
+
+            from ..sfm.ransac import ransac_affine
+
+            res = ransac_affine(
+                jax.random.PRNGKey(0),
+                jnp.asarray(p_ref, jnp.float32),
+                jnp.asarray(p_img, jnp.float32),
+                jnp.ones(len(idx), bool),
+            )
+            inl = np.asarray(res.inliers)
+            if inl.sum() >= (1 if shift_only else 3):
+                idx, p_ref, p_img = idx[inl], p_ref[inl], p_img[inl]
         # the warp samples img at M @ (ref coords) + offset, so fit the
         # ref -> img mapping: p_img ≈ M @ p_ref + offset
         if shift_only:

@@ -83,6 +83,41 @@ def ransac_homography(key, uv1, uv2, valid, thresh_px: float = 3.0, n_hypo: int 
     )
 
 
+def _fit_affine_weighted(uv1, uv2, w):
+    """Weighted lstsq affine uv2 ≈ M @ uv1 + t, returned as a (2, 3) [M | t].
+
+    Normal-equation solve so it vmaps over RANSAC hypothesis weight rows;
+    a tiny ridge keeps degenerate (collinear) samples finite — they then
+    simply score few inliers.
+    """
+    x = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=1)  # (N, 3)
+    xw = x * w[:, None]
+    ata = x.T @ xw + 1e-6 * jnp.eye(3, dtype=uv1.dtype)
+    atb = xw.T @ uv2  # (3, 2)
+    sol = jnp.linalg.solve(ata, atb)  # (3, 2): rows [M.T ; t]
+    return sol.T  # (2, 3)
+
+
+def _affine_error(model, uv1, uv2):
+    pred = uv1 @ model[:, :2].T + model[:, 2]
+    return jnp.sum((pred - uv2) ** 2, axis=1)
+
+
+def ransac_affine(key, uv1, uv2, valid, thresh_px: float = 3.0,
+                  n_hypo: int = 256):
+    """RANSAC 2-D affine fit uv2 ≈ M @ uv1 + t (model: (2, 3) [M | t]).
+
+    Backs `LinearAlign(orsa=True)`: the reference's `orsa` kwarg was a stub
+    (SURVEY.md §2.3 *(verify)*); here it performs real robust outlier
+    rejection before the final fit.
+    """
+    return ransac(
+        key, uv1, uv2, valid,
+        _fit_affine_weighted, _affine_error,
+        min_samples=3, thresh=thresh_px**2, n_hypo=n_hypo,
+    )
+
+
 def ransac_essential_normalized(key, xy1, xy2, valid, thresh: float = 1e-4,
                                 n_hypo: int = 256):
     """RANSAC essential matrix on K-normalized image coordinates.

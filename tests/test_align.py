@@ -56,3 +56,24 @@ def test_align_double_check_and_relative():
     assert abs(o1["offset"][1] + 4.0) < 0.5
     # composed ref->f2 transform accumulates to ~-8 px
     assert abs(o2["offset"][1] + 8.0) < 0.8
+
+
+def test_align_orsa_robust(small_cfg):
+    """orsa=True runs real RANSAC affine inlier filtering (the reference's
+    orsa kwarg was a stub); same recovery as plain align plus an inlier-only
+    match list."""
+    ref, img = transformed_pair((128, 128), seed=7, dx=5, dy=3)
+    la = LinearAlign(ref, config=small_cfg)
+    out = la.align(img, orsa=True, return_all=True)
+    assert out is not None and len(out["matches"]) >= 4
+    np.testing.assert_allclose(out["matrix"], np.eye(2), atol=0.02)
+    # small scene (few matches): inlier gating can shift the fit ~0.5 px
+    np.testing.assert_allclose(out["offset"], [-3.0, -5.0], atol=0.6)
+    # every surviving match must be an affine inlier of the fitted model
+    p_ref = np.stack([la.ref_kp["y"][out["matches"][:, 0]],
+                      la.ref_kp["x"][out["matches"][:, 0]]], axis=1)
+    kp = la.sift.keypoints(img)
+    p_img = np.stack([kp["y"][out["matches"][:, 1]],
+                      kp["x"][out["matches"][:, 1]]], axis=1)
+    resid = p_ref @ np.asarray(out["matrix"]).T + out["offset"] - p_img
+    assert np.all(np.sum(resid**2, axis=1) < 9.0 + 1e-3)

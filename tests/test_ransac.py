@@ -70,3 +70,27 @@ def test_ransac_essential_with_outliers():
     s = np.linalg.norm(t2)
     Xi = np.asarray(init.points)[got_in & gt_in] * s
     np.testing.assert_allclose(Xi, X[got_in & gt_in], atol=0.25)
+
+
+def test_ransac_affine_with_outliers():
+    from sift_pyocl_tpu.sfm.ransac import ransac_affine
+
+    rng = np.random.default_rng(2)
+    M_gt = np.array([[0.98, 0.05], [-0.04, 1.02]])
+    t_gt = np.array([7.0, -3.0])
+    p1 = rng.uniform(0, 300, (100, 2))
+    p2 = p1 @ M_gt.T + t_gt + rng.normal(0, 0.2, (100, 2))
+    out_idx = rng.choice(100, 30, replace=False)
+    p2[out_idx] = rng.uniform(0, 300, (30, 2))
+    gt_in = np.ones(100, bool)
+    gt_in[out_idx] = False
+    res = ransac_affine(
+        jax.random.key(0), jnp.asarray(p1, jnp.float32),
+        jnp.asarray(p2, jnp.float32), jnp.ones(100, bool),
+    )
+    got_in = np.asarray(res.inliers)
+    assert (got_in & gt_in).sum() >= 0.97 * gt_in.sum()
+    assert (got_in & ~gt_in).sum() <= 2
+    model = np.asarray(res.model)
+    assert np.allclose(model[:, :2], M_gt, atol=0.02)
+    assert np.allclose(model[:, 2], t_gt, atol=1.0)
