@@ -65,13 +65,24 @@ def _alarm_handler(signum, frame):  # noqa: ARG001
     raise _StageTimeout("stage exceeded its time budget")
 
 
+# Deterministic-failure markers: a kernel the Mosaic compiler REJECTS fails
+# identically every attempt (BENCH_r02 burned 12+ min retrying one 3x) —
+# bail after the first hit.  Transient transport errors ("response body
+# closed", connection resets) stay retryable.
+_FATAL_MARKERS = (
+    "tpu_compile_helper subprocess exit code",
+    "Mosaic failed to compile",
+)
+
+
 def retry(fn, tries: int = 3, base_delay: float = 4.0, label: str = "stage",
           timeout_s: float = 0.0):
     """Run fn() with retry-and-backoff on ANY exception (transient tunnel
     errors surface as JaxRuntimeError/INTERNAL).  With timeout_s > 0 each
     attempt also races a SIGALRM so a wedged-tunnel HANG becomes a retryable
     failure (best effort: a C-level block may defer delivery — the process
-    watchdog is the backstop).  Returns (value, None) on success or
+    watchdog is the backstop).  Deterministic compiler rejections
+    (_FATAL_MARKERS) are not retried.  Returns (value, None) on success or
     (None, last_exception) after exhausting retries."""
     last = None
     for attempt in range(tries):
@@ -88,6 +99,9 @@ def retry(fn, tries: int = 3, base_delay: float = 4.0, label: str = "stage",
             last = e
             _log(f"{label}: attempt {attempt + 1}/{tries} failed: "
                  f"{type(e).__name__}: {str(e)[:300]}")
+            if any(m in str(e) for m in _FATAL_MARKERS):
+                _log(f"{label}: deterministic compile failure — not retrying")
+                break
             if attempt + 1 < tries:
                 time.sleep(base_delay * (2 ** attempt))
     return None, last
@@ -100,10 +114,12 @@ def main() -> int:
     ap.add_argument("--n-hi", type=int, default=9)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--tries", type=int, default=3)
-    ap.add_argument("--deadline", type=float, default=2700.0,
+    ap.add_argument("--deadline", type=float, default=1500.0,
                     help="hard wall-clock budget (s); watchdog emits "
-                         "best-so-far JSON and exits when exceeded")
-    ap.add_argument("--stage-timeout", type=float, default=900.0,
+                         "best-so-far JSON and exits when exceeded.  Default "
+                         "sits under the driver's external timeout (rc=124 "
+                         "in BENCH_r02 means the driver killed us first).")
+    ap.add_argument("--stage-timeout", type=float, default=700.0,
                     help="per-attempt SIGALRM budget (s); 0 disables")
     args = ap.parse_args()
     if args.quick:

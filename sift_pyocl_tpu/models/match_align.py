@@ -170,6 +170,7 @@ class LinearAlign:
         relative: bool = False,
         double_check: bool = False,
         orsa: bool = False,
+        seed: int = 0,
     ):
         """Warp `img` onto the reference frame.  Returns the warped image, or
         a dict with (result, matrix, offset, matches) when return_all.
@@ -183,6 +184,8 @@ class LinearAlign:
         real RANSAC affine fit (sfm.ransac.ransac_affine) and keeps only the
         inlier matches before the final fit — a strict improvement with the
         same signature.
+        seed: RANSAC sampling seed for orsa (deterministic per value; vary
+        it if a draw is unlucky for a given scene).
         """
         base_kp = self.ref_kp
         kp = self.sift.keypoints(np.asarray(img))
@@ -206,13 +209,15 @@ class LinearAlign:
             from ..sfm.ransac import ransac_affine
 
             res = ransac_affine(
-                jax.random.PRNGKey(0),
+                jax.random.PRNGKey(seed),
                 jnp.asarray(p_ref, jnp.float32),
                 jnp.asarray(p_img, jnp.float32),
                 jnp.ones(len(idx), bool),
             )
             inl = np.asarray(res.inliers)
-            if inl.sum() >= (1 if shift_only else 3):
+            # require a real consensus set even in shift_only mode: a median
+            # over all matches beats a "median" of 1-2 RANSAC stragglers
+            if inl.sum() >= 3:
                 idx, p_ref, p_img = idx[inl], p_ref[inl], p_img[inl]
         # the warp samples img at M @ (ref coords) + offset, so fit the
         # ref -> img mapping: p_img ≈ M @ p_ref + offset

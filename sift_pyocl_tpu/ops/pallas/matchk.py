@@ -17,10 +17,12 @@ Round-2 perf passes (all bit-preserving):
     static-capacity slabs (1-2K valid of ~8K slots at VO shapes), so this
     removes the majority of the work.  Skipped rows emit zeros — every
     caller gates on valid1, so those lanes are dead by contract.
-  * bf16 MXU panels when both descriptor sets are uint8 — u8 values are
-    exact in bf16, each product (< 2^16) is exact in the MXU's f32
-    accumulator, and the 128-term dot (< 2^23) stays exactly representable:
-    bit-identical distances at twice the MXU issue rate.
+  * bf16 STORAGE panels when both descriptor sets are uint8 — u8 values
+    are exact in bf16, so halving the panel bytes (VMEM residency + HBM
+    traffic) is free; operands are cast to f32 AT the dot because this
+    platform's Mosaic build rejects bf16 matmul operands ("Bad lhs type",
+    tpu_compile_helper exit 1 — the BENCH_r02 failure; bit-identical
+    distances either way).
   * valid2 folded into the ||b||^2 row as +inf — an invalid column's
     distance is +inf by arithmetic, dropping the per-tile validity where.
 
@@ -51,7 +53,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(v1s_ref, a_ref, bt_ref, nb_ref, d1_ref, d2_ref, i1_ref):
     i = pl.program_id(0)
-    bt = bt_ref[:]                                 # (128, N2), resident
+    bt = bt_ref[:].astype(jnp.float32)             # (128, N2), resident
     big = jnp.int32(2**30)
     rows8 = lax.broadcasted_iota(jnp.int32, (TILE1 // SUB, SUB), 0)
     d1o = jnp.zeros((TILE1 // SUB, SUB), jnp.float32)
@@ -62,7 +64,13 @@ def _kernel(v1s_ref, a_ref, bt_ref, nb_ref, d1_ref, d2_ref, i1_ref):
         def do_sub(ops, sub=sub):
             d1o, d2o, i1o = ops
             a = a_ref[sub * SUB : (sub + 1) * SUB, :]  # (SUB, 128)
-            ab = jnp.dot(a, bt, preferred_element_type=jnp.float32)  # MXU
+            # cast to f32 at the dot: this Mosaic build rejects bf16 matmul
+            # operands outright ("Bad lhs type", tpu_compile_helper exit 1 —
+            # found by BENCH_r02; interpret-mode tests cannot see it).  bf16
+            # is kept for STORAGE only (panel VMEM/HBM traffic halves); the
+            # u8-origin values stay exact through the cast.
+            ab = jnp.dot(a.astype(jnp.float32), bt,
+                         preferred_element_type=jnp.float32)  # MXU
             a32 = a.astype(jnp.float32)
             na = jnp.sum(a32 * a32, axis=1, keepdims=True)
             # nb carries +inf at invalid/padded columns -> dist = +inf there

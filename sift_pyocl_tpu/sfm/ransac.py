@@ -86,16 +86,27 @@ def ransac_homography(key, uv1, uv2, valid, thresh_px: float = 3.0, n_hypo: int 
 def _fit_affine_weighted(uv1, uv2, w):
     """Weighted lstsq affine uv2 ≈ M @ uv1 + t, returned as a (2, 3) [M | t].
 
-    Normal-equation solve so it vmaps over RANSAC hypothesis weight rows;
-    a tiny ridge keeps degenerate (collinear) samples finite — they then
-    simply score few inliers.
+    Normal-equation solve so it vmaps over RANSAC hypothesis weight rows.
+    Points are Hartley-normalized first (matching fit_homography) so the
+    normal equations stay well-conditioned at any pixel scale, and the 1e-6
+    ridge — now against O(1) entries — genuinely keeps degenerate
+    (collinear) samples finite; they then simply score few inliers.
     """
-    x = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=1)  # (N, 3)
+    from .geometry import _normalize_points
+
+    p1, T1 = _normalize_points(uv1, w)
+    p2, T2 = _normalize_points(uv2, w)
+    x = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=1)  # (N, 3)
     xw = x * w[:, None]
     ata = x.T @ xw + 1e-6 * jnp.eye(3, dtype=uv1.dtype)
-    atb = xw.T @ uv2  # (3, 2)
-    sol = jnp.linalg.solve(ata, atb)  # (3, 2): rows [M.T ; t]
-    return sol.T  # (2, 3)
+    atb = xw.T @ p2  # (3, 2)
+    sol = jnp.linalg.solve(ata, atb)  # (3, 2): rows [M.T ; t] in norm coords
+    an = jnp.concatenate(
+        [sol.T, jnp.array([[0.0, 0.0, 1.0]], dtype=uv1.dtype)], axis=0
+    )  # (3, 3) homogeneous affine, normalized frame
+    # denormalize: [uv2;1] = T2^-1 @ An @ T1 @ [uv1;1]
+    full = jnp.linalg.solve(T2.astype(uv1.dtype), an @ T1.astype(uv1.dtype))
+    return full[:2]  # (2, 3)
 
 
 def _affine_error(model, uv1, uv2):
