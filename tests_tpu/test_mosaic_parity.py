@@ -93,6 +93,17 @@ def test_best2_mosaic_matches_xla():
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(x1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(x2), rtol=1e-5)
+    # valid1 sub-tile skip path (the VO call shape): skipped rows zero,
+    # surviving rows identical
+    v1 = jnp.asarray(rng.uniform(size=1500) < 0.3)
+    s1, s2, si = best2_l2_pallas(a, b, v2, v1)
+    v1p = np.zeros(1536, bool)  # pad 1500 -> 12 SUB=128 sub-tiles
+    v1p[:1500] = np.asarray(v1)
+    keep = np.repeat(np.any(v1p.reshape(12, 128), axis=1), 128)[:1500]
+    np.testing.assert_allclose(np.asarray(s1)[keep], np.asarray(x1)[keep],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(si)[keep], np.asarray(xi)[keep])
+    assert np.all(np.asarray(s1)[~keep] == 0.0)
 
 
 def test_grad_atlas_mosaic_matches_xla(scene160):
