@@ -153,7 +153,9 @@ def compact_mask_pallas(
 
 def _multi_tile_kernel(toct_ref, tbase_ref, cap_ref, outoff_ref, mask_ref,
                        cnt_ref, idx_ref, *, rows: int, cols: int,
-                       max_per_tile: int, n_oct: int):
+                       max_per_tile: int, n_oct: int,
+                       skip_empty: bool = True, no_extract: bool = False,
+                       extract_mode: str = "sum"):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -166,7 +168,7 @@ def _multi_tile_kernel(toct_ref, tbase_ref, cap_ref, outoff_ref, mask_ref,
     cnt = jnp.sum(m).astype(jnp.int32)
 
     # empty-tile skip (see _tile_kernel): gate the MXU ranking on any bits
-    @pl.when(cnt > 0)
+    @pl.when((cnt > 0) if skip_empty else (cnt > -1))
     def _():
         U = (
             lax.broadcasted_iota(jnp.int32, (cols, cols), 0)
@@ -179,35 +181,76 @@ def _multi_tile_kernel(toct_ref, tbase_ref, cap_ref, outoff_ref, mask_ref,
             > lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
         ).astype(jnp.float32)
         rowoff = jnp.dot(TR, rowsum, preferred_element_type=jnp.float32)
-        rank = (lane_cs + rowoff).astype(jnp.int32)
+        rank_f = lane_cs + rowoff
 
         base = cnt_ref[o]
         cap_o = cap_ref[o]
         obase = outoff_ref[o]
-        gidx = (
-            lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
-            + lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-            + tbase_ref[t]
-        )
-        on = m > 0
         # dynamic-bound extraction (see _tile_kernel): only `cnt` steps run
         n_extract = jnp.minimum(jnp.minimum(cnt, max_per_tile), cap_o - base)
 
-        def extract(j, carry):
-            sel = on & (rank == j + 1)
-            idx_ref[obase + base + j] = jnp.sum(
-                jnp.where(sel, gidx, 0)
-            ).astype(jnp.int32)
-            return carry
+        if extract_mode == "rowmm":
+            # Row-targeted extraction (tried round 3, measured SLOWER — kept
+            # as a documented-rejected variant): the j-th set bit's row r
+            # satisfies rowoff[r] <= j < rowoff[r] + rowsum[r] (ranks are
+            # row-major), so one (1,rows) row-hit one-hot and one MXU matmul
+            # against comb = 2*rank + m pull out just that row — (1,cols)
+            # vector ops per bit instead of a full (rows,cols) masked
+            # reduction.  On-chip interleaved A/B at 1080p (978 candidates):
+            # sum 0.28 ms vs rowmm 0.60 ms — per-bit MXU issue latency and
+            # the (rows,1)->(1,rows) relayout cost more than the big VPU
+            # reduction they replace.  The +m term disambiguates set bits
+            # from the rank plateau that follows them (inclusive prefix
+            # counts repeat until the next set bit).
+            comb = 2.0 * rank_f + m  # exact ints <= 2*rows*cols+1 < 2^24
+            rowsum_row = rowsum.reshape(1, rows)
+            rowoff_row = rowoff.reshape(1, rows)
+            lane_row = lax.broadcasted_iota(
+                jnp.int32, (1, cols), 1).astype(jnp.float32)
+            ridx_row = lax.broadcasted_iota(
+                jnp.int32, (1, rows), 1).astype(jnp.float32)
+            tb = tbase_ref[t]
 
-        lax.fori_loop(0, n_extract, extract, 0)
+            def extract(j, carry):
+                jf = j.astype(jnp.float32)
+                hit = ((rowoff_row <= jf)
+                       & (rowoff_row + rowsum_row > jf)).astype(jnp.float32)
+                sel_row = jnp.dot(hit, comb,
+                                  preferred_element_type=jnp.float32)
+                target = 2.0 * (jf + 1.0) + 1.0
+                lsel = jnp.sum(jnp.where(sel_row == target, lane_row, 0.0))
+                rsel = jnp.sum(hit * ridx_row)
+                idx_ref[obase + base + j] = (
+                    tb + (rsel * cols + lsel).astype(jnp.int32)
+                )
+                return carry
+        else:
+            rank = rank_f.astype(jnp.int32)
+            gidx = (
+                lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
+                + lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+                + tbase_ref[t]
+            )
+            on = m > 0
+
+            def extract(j, carry):
+                sel = on & (rank == j + 1)
+                idx_ref[obase + base + j] = jnp.sum(
+                    jnp.where(sel, gidx, 0)
+                ).astype(jnp.int32)
+                return carry
+
+        if not no_extract:  # diagnostic: split scan cost from extraction cost
+            lax.fori_loop(0, n_extract, extract, 0)
 
         cnt_ref[o] = jnp.minimum(base + jnp.minimum(cnt, max_per_tile), cap_o)
         cnt_ref[n_oct + o] = cnt_ref[n_oct + o] + cnt
 
 
 def compact_masks_multi(masks, caps, tile_rows: int = 64,
-                        max_per_tile: int = 128, interpret: bool = False):
+                        max_per_tile: int = 128, interpret: bool = False,
+                        skip_empty: bool = True, no_extract: bool = False,
+                        extract_mode: str = "sum"):
     """Compact EVERY octave's boolean mask in one kernel launch.
 
     masks: list of bool arrays (any shapes); caps: per-octave capacities.
@@ -247,6 +290,8 @@ def compact_masks_multi(masks, caps, tile_rows: int = 64,
         functools.partial(
             _multi_tile_kernel, rows=tile_rows, cols=cols,
             max_per_tile=max_per_tile, n_oct=n_oct,
+            skip_empty=skip_empty, no_extract=no_extract,
+            extract_mode=extract_mode,
         ),
         grid_spec=grid_spec,
         out_shape=(

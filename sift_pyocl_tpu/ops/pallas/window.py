@@ -411,12 +411,19 @@ def _lane_scalar(row, idx, width=128):
     return jnp.sum(jnp.where(lane == idx, row, 0.0))
 
 
-def _kp_hist_row(mw, ow, fro, fco, sig, *, win):
+def _kp_hist_row(mw, ow, fro, fco, sig, *, win, reduce_mode="scalar"):
     """Per-keypoint 36-bin orientation histogram as a (1, 128) row (lanes
     [0, 36)).  `fro`/`fco` are the keypoint's subpixel offsets from the
     window origin (fr - rs, fc - cs) in OCTAVE-LOCAL coordinates — keeping
     them separate from the (possibly atlas-offset) DMA row preserves exact
-    f32 coordinates when one launch serves every octave."""
+    f32 coordinates when one launch serves every octave.
+
+    reduce_mode "scalar": each bin is a full (win,128) masked scalar sum,
+    assembled with iota selects — a 36-deep serial reduction chain.
+    "colsum": each bin lane-reduces to a (win,1) column placed into a
+    (win,128) matrix; ONE ones(1,win) @ M matmul finishes all 36 bins
+    (shallower dependency chains; f32 sums reassociate, so results can
+    differ from "scalar" by ulps)."""
     rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
         jnp.float32) - fro
     cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
@@ -432,6 +439,15 @@ def _kp_hist_row(mw, ow, fro, fco, sig, *, win):
         N_ORI_BINS * (ow + np.float32(np.pi)) / np.float32(2 * np.pi)
     ).astype(jnp.int32)
     b = jnp.clip(b, 0, N_ORI_BINS - 1)
+    if reduce_mode == "colsum":
+        lane = lax.broadcasted_iota(jnp.int32, (win, 128), 1)
+        M = jnp.zeros((win, 128), jnp.float32)
+        for kk in range(N_ORI_BINS):
+            col = jnp.sum(jnp.where(b == kk, wgt, 0.0), axis=1,
+                          keepdims=True)
+            M = jnp.where(lane == kk, col, M)
+        return jnp.dot(jnp.ones((1, win), jnp.float32), M,
+                       preferred_element_type=jnp.float32)
     hvals = [(kk, jnp.sum(jnp.where(b == kk, wgt, 0.0)))
              for kk in range(N_ORI_BINS)]
     return _scalar_row(hvals, 128)
@@ -502,9 +518,13 @@ def _block_ori_tail(H, validcol, C_ref, max_ori: int):
 
 
 def _kp_descriptor(mw, ow, fro, fco, sig, angle, drow, *, win, max_ori,
-                   o: int):
+                   o: int, reduce_mode="scalar"):
     """Accumulate keypoint slot `o`'s raw 128-bin descriptor into drow
-    (1, max_ori*128) at lane offset o*128."""
+    (1, max_ori*128) at lane offset o*128.
+
+    reduce_mode as in _kp_hist_row: "scalar" = 128 serial full-window
+    scalar sums; "colsum" = 128 lane-reductions into a (win,128) matrix
+    finished by one ones(1,win) @ M matmul (ulp-level reassociation)."""
     DW = max_ori * 128
     rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
         jnp.float32) - fro
@@ -535,6 +555,22 @@ def _kp_descriptor(mw, ow, fro, fco, sig, angle, drow, *, win, max_ori,
         do = jnp.abs(obin - oo)
         do = jnp.minimum(do, DESC_ORI - do)
         Cs.append(mm * jnp.maximum(0.0, 1.0 - do))
+    if reduce_mode == "colsum":
+        lane = lax.broadcasted_iota(jnp.int32, (win, 128), 1)
+        M = jnp.zeros((win, 128), jnp.float32)
+        for ri in range(DESC_GRID):
+            wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - ri))
+            for cj in range(DESC_GRID):
+                wrc = wr * jnp.maximum(0.0, 1.0 - jnp.abs(cbin - cj))
+                for oo in range(DESC_ORI):
+                    bin_ = (ri * DESC_GRID + cj) * DESC_ORI + oo
+                    col = jnp.sum(wrc * Cs[oo], axis=1, keepdims=True)
+                    M = jnp.where(lane == bin_, col, M)
+        row = jnp.dot(jnp.ones((1, win), jnp.float32), M,
+                      preferred_element_type=jnp.float32)
+        parts = [jnp.zeros((1, 128), jnp.float32)] * max_ori
+        parts[o] = row
+        return drow + jnp.concatenate(parts, axis=1)
     vals = []
     for ri in range(DESC_GRID):
         wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - ri))
@@ -549,7 +585,8 @@ def _kp_descriptor(mw, ow, fro, fco, sig, angle, drow, *, win, max_ori,
 
 def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fro_ref, fco_ref, sig_ref,
                   C_ref, mag_hbm, ori_hbm, aux_ref, desc_ref,
-                  magw, oriw, sems, *, win: int, rows_f: int, max_ori: int):
+                  magw, oriw, sems, *, win: int, rows_f: int, max_ori: int,
+                  reduce_mode: str = "scalar"):
     i = pl.program_id(0)
     DW = max_ori * 128
     # block-level skip: capacity tails are fully-invalid blocks — one branch
@@ -577,7 +614,8 @@ def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fro_ref, fco_ref, sig_ref,
                                        ori_hbm, magw, oriw, sems, j, k,
                                        rows_f, win)
                 hrow = _kp_hist_row(mw, ow, fro_ref[k], fco_ref[k],
-                                    sig_ref[k], win=win)
+                                    sig_ref[k], win=win,
+                                    reduce_mode=reduce_mode)
                 return _select_row(H, j, hrow)
 
             return lax.cond(valid_ref[k] > 0, compute, lambda H: H, H)
@@ -624,7 +662,7 @@ def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fro_ref, fco_ref, sig_ref,
                         functools.partial(
                             _kp_descriptor, mw, ow, fro_ref[k], fco_ref[k],
                             sig_ref[k], ang_jo, win=win, max_ori=max_ori,
-                            o=o,
+                            o=o, reduce_mode=reduce_mode,
                         ),
                         lambda d: d,
                         drow,
@@ -640,7 +678,7 @@ def _fused_kernel(s_ref, rs_ref, cs_ref, valid_ref, fro_ref, fco_ref, sig_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win", "max_ori", "interpret")
+    jax.jit, static_argnames=("win", "max_ori", "interpret", "reduce_mode")
 )
 def orient_desc_fused_pallas(
     mag_p: jnp.ndarray,
@@ -654,6 +692,7 @@ def orient_desc_fused_pallas(
     max_ori: int = 2,
     interpret: bool = False,
     row_off=None,
+    reduce_mode: str = "scalar",
 ):
     """Fused orientation assignment + raw descriptors.
 
@@ -702,7 +741,8 @@ def orient_desc_fused_pallas(
     rs_dma = rs if row_off is None else rs + row_off.astype(jnp.int32)
     aux, desc = pl.pallas_call(
         functools.partial(
-            _fused_kernel, win=win, rows_f=rows_f, max_ori=max_ori
+            _fused_kernel, win=win, rows_f=rows_f, max_ori=max_ori,
+            reduce_mode=reduce_mode,
         ),
         grid_spec=grid_spec,
         out_shape=(

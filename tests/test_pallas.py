@@ -345,3 +345,64 @@ def test_extrema_mask_atlas_pallas_matches_xla(scene160):
                                       err_msg=f"octave {o}")
         total += want.sum()
     assert total > 5  # the scene must actually produce extrema
+
+
+def test_compact_masks_multi_extract_modes():
+    """Multi-octave compaction: both extraction formulations ("sum" full-tile
+    masked reductions, "rowmm" row-targeted MXU pulls) must emit exact
+    np.nonzero order per octave."""
+    from sift_pyocl_tpu.ops.pallas.compact import compact_masks_multi
+
+    rng = np.random.default_rng(5)
+    masks = [rng.random((3, h, w)) < p for (h, w), p in
+             [((100, 150), 0.001), ((50, 75), 0.004)]]
+    caps = [256, 128]
+    for mode in ("sum", "rowmm"):
+        idx, wr, tot = compact_masks_multi(
+            [jnp.asarray(m) for m in masks], caps, interpret=True,
+            extract_mode=mode,
+        )
+        idx, wr, tot = np.asarray(idx), np.asarray(wr), np.asarray(tot)
+        off = 0
+        for o, m in enumerate(masks):
+            ref = np.nonzero(m.reshape(-1))[0]
+            assert tot[o] == len(ref), (mode, o)
+            assert wr[o] == min(len(ref), caps[o]), (mode, o)
+            assert np.array_equal(idx[off:off + wr[o]], ref[:wr[o]]), (mode, o)
+            off += caps[o]
+
+
+def test_fused_orient_desc_colsum_matches_scalar():
+    """reduce_mode="colsum" (lane-reductions + one MXU matmul) vs "scalar"
+    (per-bin full-window scalar sums): same ok flags/angles, raw descriptors
+    within reassociation ulps."""
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import octave_capacities
+    from sift_pyocl_tpu.ops.detect import detect_octave_pallas
+    from sift_pyocl_tpu.ops.orient_desc import (_desc_window_size,
+                                                gradient_planes)
+    from sift_pyocl_tpu.ops.pallas.window import (orient_desc_fused_pallas,
+                                                  pad_grad_planes)
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    cfg = SiftConfig()
+    img = jnp.asarray(synthetic_scene((160, 160), n_blobs=30, seed=3))
+    blurs, dogs = build_scale_space_jax(img, cfg)[0]
+    cap = octave_capacities((160, 160), cfg)[0][0]
+    kps, _ = detect_octave_pallas(dogs, cfg, 0, cap, interpret=True)
+    mag_p, ori_p = pad_grad_planes(*gradient_planes(blurs, cfg))
+    sigma = cfg.init_sigma * 2.0 ** (kps.fs / cfg.scales)
+    win = _desc_window_size(cfg)
+    out = {}
+    for mode in ("scalar", "colsum"):
+        out[mode] = orient_desc_fused_pallas(
+            mag_p, ori_p, kps.s_int, kps.fr, kps.fc, sigma, kps.valid,
+            win=win, max_ori=cfg.max_ori, interpret=True, reduce_mode=mode,
+        )
+    a0, k0, r0 = map(np.asarray, out["scalar"])
+    a1, k1, r1 = map(np.asarray, out["colsum"])
+    assert k0.sum() > 0 and np.array_equal(k0, k1)
+    np.testing.assert_allclose(a1[k0], a0[k0], atol=1e-5)
+    scale = np.abs(r0).max() + 1e-9
+    np.testing.assert_allclose(r1[k0] / scale, r0[k0] / scale, atol=1e-5)

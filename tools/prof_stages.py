@@ -90,10 +90,10 @@ def main():
 
     vo = VOConfig()
     st0 = vo_init(img, K, cfg, vo)
+    P = vo.window * vo.pts_per_frame
 
     def front_match(c):
         b = detect_and_describe(c, cfg)
-        P = vo.window * vo.pts_per_frame
         keep, mid, d, d2 = match_descriptors_dense(
             b.desc, b.valid, st0.Xdesc.reshape(P, 128),
             st0.Xvalid.reshape(P) > 0, metric=vo.match_metric,
@@ -101,9 +101,54 @@ def main():
         return [keep.sum(), d.sum(), b.x.sum(),
                 b.desc.astype(jnp.float32).sum()]
 
+    def front_pnp(c):
+        from sift_pyocl_tpu.sfm.pnp import pnp_refine
+        b = detect_and_describe(c, cfg)
+        keep, mid, d, d2 = match_descriptors_dense(
+            b.desc, b.valid, st0.Xdesc.reshape(P, 128),
+            st0.Xvalid.reshape(P) > 0, metric=vo.match_metric,
+            ratio_sq=vo.ratio_sq)
+        score = jnp.where(keep, -d, -jnp.inf)
+        _, sel = jax.lax.approx_max_k(score, vo.pnp_n)
+        w_sel = keep[sel].astype(jnp.float32)
+        uv_sel = jnp.stack([b.x, b.y], -1)[sel]
+        X_sel = st0.X.reshape(P, 3)[mid[sel]]
+        R, t, rms = pnp_refine(K, st0.Rs[-1], st0.ts[-1], X_sel, uv_sel,
+                               w_sel, iters=vo.pnp_iters,
+                               huber_px=vo.huber_px)
+        return [t.sum(), rms, keep.sum(), b.x.sum()]
+
     def vostep(c):
         st2, out = vo_step(st0, c, K, cfg, vo)
         return [out.ba_cost, st2.lam, out.t.sum()]
+
+    # --- isolated sub-stages (cost not chained on the frontend) ---------
+    from sift_pyocl_tpu.sfm.ba import BAObs, BAParams, lm_iteration
+
+    def ba_iso(c):
+        s = jnp.tanh(c[0, 0] * 1e-9) * 1e-5
+        params = BAParams(st0.Rs, st0.ts + s, st0.X.reshape(P, 3))
+        cam_ids = jnp.repeat(
+            jnp.arange(vo.window, dtype=jnp.int32)[:, None],
+            vo.obs_per_frame, axis=1).reshape(-1)
+        obs = BAObs(uv=st0.obs_uv.reshape(-1, 2), cam=cam_ids,
+                    pt=jnp.maximum(st0.obs_pt.reshape(-1), 0),
+                    w=st0.obs_w.reshape(-1))
+        free = jnp.arange(vo.window) > 0
+        p2, lam2, cost, _ = lm_iteration(
+            params, obs, K, st0.lam, free, huber_px=vo.huber_px,
+            cg_iters=vo.cg_iters, n_points=P, cam_blocked=True,
+            pt_onehot=True, dense_schur=True)
+        return [cost, lam2, p2.ts.sum()]
+
+    def match2_iso(c):
+        s = jnp.tanh(c[0, 0] * 1e-9)
+        d1 = st0.prev_desc[: vo.pts_per_frame]
+        v1 = st0.prev_valid[: vo.pts_per_frame] & (s > -2)
+        pk, pidx, pd, pd2 = match_descriptors_dense(
+            d1, v1, st0.prev_desc, st0.prev_valid,
+            metric=vo.match_metric, ratio_sq=vo.ratio_sq)
+        return [pk.sum(), pd.sum()]
 
     rows = [
         ("pyramid", upto("pyramid")),
@@ -113,7 +158,10 @@ def main():
         ("grad", upto("grad")),
         ("frontend", full),
         ("front_match", front_match),
+        ("front_pnp", front_pnp),
         ("vo", vostep),
+        ("ba_iso", ba_iso),
+        ("match2_iso", match2_iso),
     ]
     want = set(args.stages.split(",")) if args.stages else None
     out = {}
