@@ -418,12 +418,15 @@ def _kp_hist_row(mw, ow, fro, fco, sig, *, win, reduce_mode="scalar"):
     them separate from the (possibly atlas-offset) DMA row preserves exact
     f32 coordinates when one launch serves every octave.
 
-    reduce_mode "scalar": each bin is a full (win,128) masked scalar sum,
-    assembled with iota selects — a 36-deep serial reduction chain.
-    "colsum": each bin lane-reduces to a (win,1) column placed into a
-    (win,128) matrix; ONE ones(1,win) @ M matmul finishes all 36 bins
-    (shallower dependency chains; f32 sums reassociate, so results can
-    differ from "scalar" by ulps)."""
+    reduce_mode "scalar" (default): each bin is a full (win,128) masked
+    scalar sum, assembled with iota selects.  "colsum" (tried round 3,
+    measured SLOWER — kept as a documented-rejected variant): each bin
+    lane-reduces to a (win,1) column placed into a (win,128) matrix and one
+    ones(1,win) @ M matmul finishes all bins.  On-chip interleaved A/B at
+    1080p: frontend 5.90 ms (scalar) vs 7.62 ms (colsum) — the per-bin
+    (win,128) iota-select assembly costs more than the deep scalar
+    reductions it replaces; Mosaic's full-window reductions are fast.
+    f32 sums reassociate between modes (ulp-level differences)."""
     rr = lax.broadcasted_iota(jnp.int32, (win, 128), 0).astype(
         jnp.float32) - fro
     cc = lax.broadcasted_iota(jnp.int32, (win, 128), 1).astype(
