@@ -41,11 +41,20 @@ class RefinedKeypoints(NamedTuple):
     valid: jnp.ndarray   # (cap,) bool
 
 
-def extrema_mask(dogs: jnp.ndarray, cfg: SiftConfig, octave: int) -> jnp.ndarray:
+def extrema_mask(dogs: jnp.ndarray, cfg: SiftConfig, octave: int,
+                 variant: str = "stencil") -> jnp.ndarray:
     """Boolean mask (scales, H-2bd, W-2bd) of accepted extrema candidates.
 
     Conditions as in oracle.local_maxmin: strict 26-neighbor max/min,
     |v| > 0.8*peak_thresh, spatial-Hessian edge rejection, border margin.
+
+    variant "stencil" (default): 26 shifted compares, fused by XLA into one
+    stencil loop with no intermediates.  "pools": shared separable 3-max/min
+    pools (52 -> ~18 vector ops; exact — max of maxes is the max of the
+    union, so `v > max(neighbors)` is `v > every neighbor` for non-NaN
+    floats) — but XLA materializes the pool intermediates (~24 MB per
+    octave-0 stage), and on-chip it measured ~0.2 ms SLOWER at 1080p than
+    the fused stencil; kept as a documented-rejected variant.
     """
     S, H, W = dogs.shape
     bd = cfg.border_dist
@@ -56,20 +65,43 @@ def extrema_mask(dogs: jnp.ndarray, cfg: SiftConfig, octave: int) -> jnp.ndarray
 
     v = dogs[1 : S - 1, bd : H - bd, bd : W - bd]
     strong = jnp.abs(v) > 0.8 * cfg.peak_thresh
-    is_max = jnp.ones_like(strong)
-    is_min = jnp.ones_like(strong)
-    for ds in (-1, 0, 1):
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                if ds == 0 and dr == 0 and dc == 0:
-                    continue
-                nb = dogs[
-                    1 + ds : S - 1 + ds,
-                    bd + dr : H - bd + dr,
-                    bd + dc : W - bd + dc,
-                ]
-                is_max = is_max & (v > nb)
-                is_min = is_min & (v < nb)
+
+    if variant == "pools":
+        def nb_extreme(op):
+            # mh[s, r, c] = op over dogs[s, r, c-1:c+2]  -> (S, H, W-2)
+            mh = op(dogs[:, :, :-2], op(dogs[:, :, 1:-1], dogs[:, :, 2:]))
+            # m33[s, r, c] = op over the 3x3 window centered (r+1, c+1)
+            m33 = op(mh[:, :-2], op(mh[:, 1:-1], mh[:, 2:]))  # (S,H-2,W-2)
+            c33 = m33[:, bd - 1 : H - bd - 1, bd - 1 : W - bd - 1]
+            # adjacent scales contribute their full 3x3 windows
+            inter = op(c33[: S - 2], c33[2:])
+            # in-plane 8 neighbors: rows above/below via mh, plus left/right
+            mhc = mh[1 : S - 1, :, bd - 1 : W - bd - 1]
+            above = mhc[:, bd - 1 : H - bd - 1]
+            below = mhc[:, bd + 1 : H - bd + 1]
+            lr = op(
+                dogs[1 : S - 1, bd : H - bd, bd - 1 : W - bd - 1],
+                dogs[1 : S - 1, bd : H - bd, bd + 1 : W - bd + 1],
+            )
+            return op(inter, op(op(above, below), lr))
+
+        is_max = v > nb_extreme(jnp.maximum)
+        is_min = v < nb_extreme(jnp.minimum)
+    else:
+        is_max = jnp.ones_like(strong)
+        is_min = jnp.ones_like(strong)
+        for ds in (-1, 0, 1):
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if ds == 0 and dr == 0 and dc == 0:
+                        continue
+                    nb = dogs[
+                        1 + ds : S - 1 + ds,
+                        bd + dr : H - bd + dr,
+                        bd + dc : W - bd + dc,
+                    ]
+                    is_max = is_max & (v > nb)
+                    is_min = is_min & (v < nb)
     cand = strong & (is_max | is_min)
 
     # edge rejection on the 2x2 spatial Hessian of each DoG slice

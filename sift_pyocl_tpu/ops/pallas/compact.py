@@ -165,6 +165,8 @@ def _multi_tile_kernel(toct_ref, tbase_ref, cap_ref, outoff_ref, mask_ref,
 
     o = toct_ref[t]
     m = mask_ref[:]
+    if m.dtype != jnp.float32:  # i8 input: 4x less HBM traffic than f32
+        m = m.astype(jnp.float32)
     cnt = jnp.sum(m).astype(jnp.int32)
 
     # empty-tile skip (see _tile_kernel): gate the MXU ranking on any bits
@@ -250,7 +252,7 @@ def _multi_tile_kernel(toct_ref, tbase_ref, cap_ref, outoff_ref, mask_ref,
 def compact_masks_multi(masks, caps, tile_rows: int = 64,
                         max_per_tile: int = 128, interpret: bool = False,
                         skip_empty: bool = True, no_extract: bool = False,
-                        extract_mode: str = "sum"):
+                        extract_mode: str = "sum", input_dtype="int8"):
     """Compact EVERY octave's boolean mask in one kernel launch.
 
     masks: list of bool arrays (any shapes); caps: per-octave capacities.
@@ -263,9 +265,10 @@ def compact_masks_multi(masks, caps, tile_rows: int = 64,
     cols = 512
     tile = tile_rows * cols
     n_oct = len(masks)
+    dt = jnp.dtype(input_dtype)
     flats, toct, tbase = [], [], []
     for o, m in enumerate(masks):
-        f = m.reshape(-1).astype(jnp.float32)
+        f = m.reshape(-1).astype(dt)
         npad = _round_up(f.shape[0], tile)
         f = jnp.pad(f, (0, npad - f.shape[0]))
         nt = npad // tile

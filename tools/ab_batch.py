@@ -1,0 +1,59 @@
+"""On-chip probe: single-chip frame-batched SIFT frontend throughput.
+
+vmap(detect_and_describe) over B frames vs B=1 — batching can fill the gaps
+between the pipeline's serial grid kernels.  Reports ms/frame per variant.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
+    ap.add_argument("--n-hi", type=int, default=9)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
+    args = ap.parse_args()
+
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import detect_and_describe
+    from sift_pyocl_tpu.utils.benchtool import chained_ms
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    cfg = SiftConfig()
+    shape = tuple(args.shape)
+    base = np.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
+
+    out = {}
+    for B in args.batches:
+        imgs = jnp.asarray(
+            np.stack([base + i for i in range(B)]).astype(np.float32))
+
+        def step(c):
+            b = jax.vmap(lambda f: detect_and_describe(f, cfg))(c)
+            return [b.x.sum(), b.desc.astype(jnp.float32).sum(),
+                    b.valid.sum()]
+
+        try:
+            ms = chained_ms(step, imgs, n_hi=args.n_hi, reps=args.reps)
+            out[f"b{B}_ms_per_frame"] = round(ms / B, 3)
+        except Exception as e:  # noqa: BLE001
+            out[f"b{B}_ms_per_frame"] = f"FAILED: {type(e).__name__}: {str(e)[:200]}"
+        print(json.dumps({f"b{B}": out[f"b{B}_ms_per_frame"]}), flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""On-chip A/B of the fused orient/desc kernel's KP_BLOCK (16 vs 32).
+
+KP_BLOCK is a module constant; each variant mutates it before tracing a
+fresh jit of the frontend stage (trace-time constant, so each variant gets
+its own executable).  Run on the chip: python tools/ab_kpblock.py
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
+    ap.add_argument("--n-hi", type=int, default=17)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--blocks", type=int, nargs="+", default=[16, 32, 8])
+    args = ap.parse_args()
+
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import detect_and_describe
+    from sift_pyocl_tpu.ops.pallas import window as W
+    from sift_pyocl_tpu.utils.benchtool import chained_ms
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    cfg = SiftConfig()
+    img = jnp.asarray(synthetic_scene(tuple(args.shape), n_blobs=200, seed=0))
+
+    def frontend(c):
+        b = detect_and_describe(c, cfg)
+        return [b.x.sum(), b.angle.sum(), b.desc.astype(jnp.float32).sum(),
+                b.valid.sum()]
+
+    out = {}
+    for kb in args.blocks:
+        W.KP_BLOCK = kb
+        jax.clear_caches()  # the nested jits key on shapes/statics, not on
+        # the module global — force retrace so each variant really compiles
+        ms = chained_ms(frontend, img, n_hi=args.n_hi, reps=args.reps)
+        out[f"kp_block_{kb}"] = round(ms, 3)
+        print(json.dumps({f"kp_block_{kb}": out[f"kp_block_{kb}"]}),
+              flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
