@@ -104,14 +104,55 @@ def save_sequence(
     return out, gt_path
 
 
+def quat_from_R(R: np.ndarray) -> np.ndarray:
+    """Unit quaternion (x, y, z, w) from a rotation matrix (Shepperd)."""
+    m = R
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (m[2, 1] - m[1, 2]) / s
+        y = (m[0, 2] - m[2, 0]) / s
+        z = (m[1, 0] - m[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + m[i, i] - m[j, j] - m[k, k], 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[3] = (m[k, j] - m[j, k]) / s
+        q[j] = (m[j, i] + m[i, j]) / s
+        q[k] = (m[k, i] + m[i, k]) / s
+        x, y, z, w = q
+    q = np.array([x, y, z, w], np.float64)
+    return q / np.linalg.norm(q)
+
+
+def save_trajectory_tum(path, Rs: np.ndarray, ts: np.ndarray,
+                        stamps=None) -> None:
+    """Write poses as TUM lines: `t tx ty tz qx qy qz qw` (camera-to-world:
+    center = -R^T t, orientation = R^T)."""
+    centers = camera_centers(Rs, ts)
+    lines = []
+    for i, (R, c) in enumerate(zip(Rs, centers)):
+        q = quat_from_R(np.asarray(R, np.float64).T)
+        s = stamps[i] if stamps is not None else float(i)
+        lines.append(
+            f"{s:.6f} {c[0]:.8f} {c[1]:.8f} {c[2]:.8f} "
+            f"{q[0]:.8f} {q[1]:.8f} {q[2]:.8f} {q[3]:.8f}"
+        )
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
 def run_sfm(K, frames, shape, **kw):
     from .sfm.pipeline import IncrementalSfM
 
     sfm = IncrementalSfM(K, shape, **kw)
     res = sfm.run(frames)
     if res is None:
-        return None, []
-    return camera_centers(res.Rs, res.ts), res.frames_registered
+        return None, [], None
+    return (camera_centers(res.Rs, res.ts), res.frames_registered,
+            (np.asarray(res.Rs), np.asarray(res.ts)))
 
 
 def run_vo(K, frames, shape):
@@ -130,7 +171,8 @@ def run_vo(K, frames, shape):
         st, out = vo_step(st, jnp.asarray(f), Kj, cfg, vo)
         Rs.append(np.asarray(out.R))
         ts.append(np.asarray(out.t))
-    return camera_centers(np.stack(Rs), np.stack(ts)), list(range(len(frames)))
+    Rs, ts = np.stack(Rs), np.stack(ts)
+    return camera_centers(Rs, ts), list(range(len(frames))), (Rs, ts)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -146,6 +188,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--cy", type=float, default=None)
     ap.add_argument("--no-scale", action="store_true",
                     help="ATE without sim(3) scale alignment")
+    ap.add_argument("--save-traj", default=None, metavar="PATH",
+                    help="write the estimated trajectory in TUM format "
+                         "(t tx ty tz qx qy qz qw; camera-to-world)")
     args = ap.parse_args(argv)
 
     frame_dir = Path(args.frames)
@@ -173,13 +218,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     gt = load_gt_centers(Path(args.gt))
 
     if args.mode == "vo":
-        est, reg = run_vo(K, frames, shape)
+        est, reg, pose_arrays = run_vo(K, frames, shape)
     else:
-        est, reg = run_sfm(K, frames, shape)
+        est, reg, pose_arrays = run_sfm(K, frames, shape)
     if est is None or len(reg) < 3:
         print(json.dumps({"error": "trajectory estimation failed",
                           "n_registered": len(reg or [])}))
         return 1
+    if args.save_traj and pose_arrays is not None:
+        save_trajectory_tum(args.save_traj, *pose_arrays, stamps=reg)
     if len(gt) < len(frames):
         print(json.dumps({"error": f"gt has {len(gt)} poses for "
                           f"{len(frames)} frames"}))

@@ -55,3 +55,44 @@ def test_evaluate_cli_sfm_ate(tmp_path, capsys):
     assert rep["n_registered"] >= 6
     # PGM u8 quantization costs some accuracy vs the float test (0.08 bound)
     assert rep["ate_rmse"] < 0.15, rep
+
+
+def test_quat_from_R_roundtrip():
+    from sift_pyocl_tpu.evaluate import quat_from_R
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        a = rng.normal(size=3)
+        th = np.linalg.norm(a)
+        k = a / th
+        Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        R = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx
+        x, y, z, w = quat_from_R(R)
+        # rebuild R from the quaternion
+        R2 = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        np.testing.assert_allclose(R2, R, atol=1e-9)
+
+
+def test_save_trajectory_tum_roundtrip(tmp_path):
+    """--save-traj output parses as TUM gt with matching centers."""
+    from sift_pyocl_tpu.evaluate import save_trajectory_tum
+
+    rng = np.random.default_rng(1)
+    n = 5
+    Rs = []
+    for _ in range(n):
+        a = rng.normal(size=3) * 0.3
+        th = np.linalg.norm(a)
+        k = a / th
+        Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        Rs.append(np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx)
+    Rs = np.stack(Rs)
+    ts = rng.normal(size=(n, 3))
+    p = tmp_path / "traj.txt"
+    save_trajectory_tum(p, Rs, ts)
+    got = load_gt_centers(p)
+    np.testing.assert_allclose(got, camera_centers(Rs, ts), atol=1e-6)

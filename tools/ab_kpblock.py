@@ -34,23 +34,29 @@ def main():
     from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
+    import dataclasses
+
     cfg = SiftConfig()
     img = jnp.asarray(synthetic_scene(tuple(args.shape), n_blobs=200, seed=0))
 
-    def frontend(c):
-        b = detect_and_describe(c, cfg)
-        return [b.x.sum(), b.angle.sum(), b.desc.astype(jnp.float32).sum(),
-                b.valid.sum()]
+    def frontend(cfg_):
+        def step(c):
+            b = detect_and_describe(c, cfg_)
+            return [b.x.sum(), b.angle.sum(),
+                    b.desc.astype(jnp.float32).sum(), b.valid.sum()]
+        return step
 
+    variants = [(f"kp_block_{kb}", kb, cfg) for kb in args.blocks]
+    variants.append(("kb16_maxori1", 16,
+                     dataclasses.replace(cfg, max_ori=1)))
     out = {}
-    for kb in args.blocks:
+    for name, kb, cfg_ in variants:
         W.KP_BLOCK = kb
         jax.clear_caches()  # the nested jits key on shapes/statics, not on
         # the module global — force retrace so each variant really compiles
-        ms = chained_ms(frontend, img, n_hi=args.n_hi, reps=args.reps)
-        out[f"kp_block_{kb}"] = round(ms, 3)
-        print(json.dumps({f"kp_block_{kb}": out[f"kp_block_{kb}"]}),
-              flush=True)
+        ms = chained_ms(frontend(cfg_), img, n_hi=args.n_hi, reps=args.reps)
+        out[name] = round(ms, 3)
+        print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out))
 
 
