@@ -177,7 +177,8 @@ def _describe_octaves_pallas_per_octave(octaves, caps,
 
 
 def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
-                             max_ori: int = None) -> KeypointBuffer:
+                             max_ori: int = None,
+                             oct_ids=None) -> KeypointBuffer:
     """Pallas production path: one multi-octave compact launch, one
     atlas-refine launch (ops.detect.detect_all_octaves_pallas), and one
     fused orientation+descriptor launch over a gradient-plane atlas (the
@@ -192,10 +193,12 @@ def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
 
     if max_ori is None:
         max_ori = cfg.max_ori
+    if oct_ids is None:
+        oct_ids = list(range(len(octaves)))
     interp = cfg.pallas_interpret
     detected = detect_all_octaves_pallas(
         [dogs for _, dogs in octaves], cfg, [c for c, _ in caps],
-        interpret=interp,
+        interpret=interp, oct_ids=oct_ids,
     )
     if cfg.grad_backend == "pallas":
         mag_a, ori_a, row_starts = grad_atlas_pallas(
@@ -262,7 +265,7 @@ def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
 
     base = 0.5 if cfg.double_im_size else 1.0
     octsize_cat = jnp.concatenate([
-        jnp.full((caps[o][0],), base * 2.0 ** o, jnp.float32)
+        jnp.full((caps[o][0],), base * 2.0 ** oct_ids[o], jnp.float32)
         for o in range(len(octaves))
     ])
     counts = []
@@ -282,6 +285,54 @@ def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
         desc=desc,
         valid=ok.reshape(-1),
         counts=jnp.stack(counts),
+    )
+
+
+def detect_and_describe_batched(imgs: jnp.ndarray,
+                                cfg: SiftConfig) -> KeypointBuffer:
+    """Batched frontend: B frames through ONE set of detection launches.
+
+    Single-chip throughput mode for the video frontend (BASELINE config 3;
+    jax.vmap over the pipeline is blocked by Mosaic — ANY-space refs cannot
+    be batched — so batching rides the existing multi-octave atlas
+    machinery instead: every frame's octaves are concatenated into one
+    entry list, giving ONE compact launch, ONE refine launch, ONE gradient
+    atlas and ONE fused orientation+descriptor launch for the whole batch;
+    only the pyramid builds stay per-frame).  Per-frame numerics are
+    IDENTICAL to detect_and_describe (same kernels, same per-entry
+    geometry).
+
+    imgs: (B, H, W).  Returns a KeypointBuffer whose arrays carry a leading
+    batch axis: x/y/scale/angle/valid (B, N), desc (B, N, 128),
+    counts (B, n_octaves, 2).
+    """
+    B = imgs.shape[0]
+    shape = imgs.shape[1:3]
+    caps1 = octave_capacities(shape, cfg)
+    n_oct = len(caps1)
+    use_pallas = _resolve_kp_backend(cfg) == "pallas"
+    if not (use_pallas and cfg.kp_multi_launch):
+        # XLA / per-octave paths have no cross-octave launches to amortize
+        bufs = [detect_and_describe(imgs[f], cfg) for f in range(B)]
+        return KeypointBuffer(*[
+            jnp.stack([getattr(b, fld) for b in bufs])
+            for fld in KeypointBuffer._fields
+        ])
+    octs = []
+    for f in range(B):
+        octs.extend(build_scale_space_jax(imgs[f], cfg))
+    buf = _describe_octaves_pallas(
+        octs, caps1 * B, cfg, oct_ids=list(range(n_oct)) * B
+    )
+    n = buf.x.shape[0] // B
+    return KeypointBuffer(
+        x=buf.x.reshape(B, n),
+        y=buf.y.reshape(B, n),
+        scale=buf.scale.reshape(B, n),
+        angle=buf.angle.reshape(B, n),
+        desc=buf.desc.reshape(B, n, 128),
+        valid=buf.valid.reshape(B, n),
+        counts=buf.counts.reshape(B, n_oct, 2),
     )
 
 

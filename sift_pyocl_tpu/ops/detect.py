@@ -293,6 +293,7 @@ def decode_compacted(octave_dogs, masks, caps, row_starts, idx_all, written,
 
 def detect_all_octaves_pallas(
     octave_dogs, cfg: SiftConfig, caps, interpret: bool = False,
+    oct_ids=None,
 ):
     """Detection for ALL octaves with ONE compaction launch.
 
@@ -311,16 +312,19 @@ def detect_all_octaves_pallas(
     from .pallas.refine import build_dog_atlas, refine_atlas_pallas
 
     bd = cfg.border_dist
+    if oct_ids is None:
+        oct_ids = list(range(len(octave_dogs)))
     atlas, row_starts = build_dog_atlas(octave_dogs)
     if cfg.mask_backend == "pallas":
         from .pallas.maskk import extrema_masks_atlas_pallas
 
         masks = extrema_masks_atlas_pallas(
             atlas, row_starts, [d.shape for d in octave_dogs], cfg,
-            interpret=interpret,
+            interpret=interpret, oct_ids=oct_ids,
         )
     else:
-        masks = [extrema_mask(d, cfg, o) for o, d in enumerate(octave_dogs)]
+        masks = [extrema_mask(d, cfg, o)
+                 for o, d in zip(oct_ids, octave_dogs)]
     idx_all, written, total = compact_masks_multi(
         masks, list(caps), interpret=interpret
     )

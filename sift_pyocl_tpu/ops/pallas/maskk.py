@@ -197,16 +197,21 @@ def extrema_masks_atlas_pallas(
     octave_shapes: Sequence[Tuple[int, int, int]],
     cfg,
     interpret: bool = False,
+    oct_ids: Sequence[int] = None,
 ) -> List[jnp.ndarray]:
     """Per-octave extrema masks from the DoG atlas, ONE kernel launch.
 
     atlas/row_starts: `build_dog_atlas` output; octave_shapes: the original
     per-octave (S, H, W).  Returns a list of (S-2, H-2bd, W-2bd) bool masks
-    identical to ops.detect.extrema_mask per octave.
+    identical to ops.detect.extrema_mask per octave.  `oct_ids` maps each
+    entry to its true octave index (batched frontend: entries repeat per
+    frame); default = enumerate order.
     """
     bd = int(cfg.border_dist)
+    if oct_ids is None:
+        oct_ids = range(len(octave_shapes))
     geom = []
-    for o, (rs, (S, H, W)) in enumerate(zip(row_starts, octave_shapes)):
+    for o, (rs, (S, H, W)) in zip(oct_ids, zip(row_starts, octave_shapes)):
         octsize = 2.0 ** (o - 1) if cfg.double_im_size else 2.0 ** o
         et = cfg.edge_thresh1 if octsize <= 1.0 else cfg.edge_thresh
         geom.append((int(rs), int(H), int(W), float(et), bd))

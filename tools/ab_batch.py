@@ -1,7 +1,10 @@
 """On-chip probe: single-chip frame-batched SIFT frontend throughput.
 
-vmap(detect_and_describe) over B frames vs B=1 — batching can fill the gaps
-between the pipeline's serial grid kernels.  Reports ms/frame per variant.
+detect_and_describe_batched over B frames vs B=1 — one detection launch set
+for the whole batch amortizes launch overheads and serial-grid gaps.
+(jax.vmap over the pipeline is NOT used: Mosaic cannot batch ANY-space
+refs — "Pallas TPU lowering ... memory space ANY only ... trivial
+index_map".)  Reports ms/frame per variant.
 """
 import argparse
 import json
@@ -28,7 +31,7 @@ def main():
     args = ap.parse_args()
 
     from sift_pyocl_tpu import SiftConfig
-    from sift_pyocl_tpu.models.sift import detect_and_describe
+    from sift_pyocl_tpu.models.sift import detect_and_describe_batched
     from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
@@ -42,7 +45,7 @@ def main():
             np.stack([base + i for i in range(B)]).astype(np.float32))
 
         def step(c):
-            b = jax.vmap(lambda f: detect_and_describe(f, cfg))(c)
+            b = detect_and_describe_batched(c, cfg)
             return [b.x.sum(), b.desc.astype(jnp.float32).sum(),
                     b.valid.sum()]
 
