@@ -185,3 +185,35 @@ def test_extrema_mask_mosaic_matches_xla(scene160):
         want = np.asarray(extrema_mask(d, cfg, o))
         np.testing.assert_array_equal(np.asarray(got[o]), want,
                                       err_msg=f"octave {o}")
+
+
+def test_batched_frontend_mosaic_matches_single(scene160):
+    """detect_and_describe_batched on the chip: frame slices match the
+    single-frame pipeline (valid/x/scale exact; y/angle within the batched
+    atlas's row-base f32 ulps, desc u8 within +-1)."""
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import (detect_and_describe,
+                                            detect_and_describe_batched)
+
+    cfg = SiftConfig(kp_per_octave_cap=256)
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(np.stack([
+        scene160, np.clip(scene160 + rng.normal(0, 4, scene160.shape), 0,
+                          255).astype(np.float32)
+    ]))
+    bb = detect_and_describe_batched(imgs, cfg)
+    assert int(np.asarray(bb.valid).sum()) > 10
+    for f in range(2):
+        b1 = detect_and_describe(imgs[f], cfg)
+        m = np.asarray(b1.valid)
+        assert np.array_equal(np.asarray(bb.valid[f]), m), f
+        for fld in ("x", "scale"):
+            assert np.array_equal(np.asarray(getattr(bb, fld)[f])[m],
+                                  np.asarray(getattr(b1, fld))[m]), (f, fld)
+        np.testing.assert_allclose(np.asarray(bb.y[f])[m],
+                                   np.asarray(b1.y)[m], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bb.angle[f])[m],
+                                   np.asarray(b1.angle)[m], atol=1e-4)
+        dd = np.abs(np.asarray(bb.desc[f])[m].astype(np.int32)
+                    - np.asarray(b1.desc)[m].astype(np.int32))
+        assert dd.max() <= 1 and (dd > 0).mean() < 0.01, (f, int(dd.max()))
