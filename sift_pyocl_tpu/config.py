@@ -80,11 +80,18 @@ class SiftConfig:
                                         # sigma_max window grows
     mask_backend: str = "xla"           # extrema mask for the multi-launch
                                         # kp path: "xla" (ops.detect.
-                                        # extrema_mask stencil — measured
-                                        # ~0.5 ms at 1080p) | "pallas"
-                                        # (one-pass strip kernel over the
-                                        # DoG atlas; v1 lane rolls 2.9 ms,
-                                        # v2 static slices ~2.7 ms — still
+                                        # extrema_mask stencil — the default;
+                                        # XLA fuses the 26 compares into one
+                                        # efficient stencil loop) | "fused"
+                                        # (computed INSIDE the ladder kernels
+                                        # while the DoG planes are VMEM-
+                                        # resident; bit-identical, but the
+                                        # in-kernel 27 wide VMEM re-reads per
+                                        # chunk measured +0.3-0.45 ms at
+                                        # 1080p vs the stencil — the mask is
+                                        # not HBM-bound; tools/ab_fusedmask)
+                                        # | "pallas" (one-pass strip kernel
+                                        # over the DoG atlas; ~2.7 ms —
                                         # behind XLA, kept for tuning)
 
     # --- derived helpers (pure functions of config + image shape) ---

@@ -28,7 +28,8 @@ from ..ops import on_tpu
 from ..oracle import KP_DTYPE
 from ..ops.detect import detect_octave
 from ..ops.orient_desc import assign_orientations, compute_descriptors, gradient_planes
-from ..ops.pyramid import build_scale_space_jax
+from ..ops.pyramid import (build_scale_space_and_masks_jax,
+                           build_scale_space_jax)
 
 
 class KeypointBuffer(NamedTuple):
@@ -88,19 +89,22 @@ def detect_and_describe(img: jnp.ndarray, cfg: SiftConfig) -> KeypointBuffer:
     (TPU kernels in ops/pallas/ — the production path; the XLA gathers and
     nonzero-compaction are pathological on TPU).
     """
-    return describe_octaves(build_scale_space_jax(img, cfg), img.shape[:2], cfg)
+    octaves, masks = build_scale_space_and_masks_jax(img, cfg)
+    return describe_octaves(octaves, img.shape[:2], cfg, masks=masks)
 
 
 def describe_octaves(octaves, shape: Tuple[int, int],
-                     cfg: SiftConfig) -> KeypointBuffer:
+                     cfg: SiftConfig, masks=None) -> KeypointBuffer:
     """Detection + orientation + descriptors over a prebuilt scale space.
 
     Split out of `detect_and_describe` so the pyramid stage and this stage
-    can run on DIFFERENT devices (parallel/pipeline_octaves.py — PP)."""
+    can run on DIFFERENT devices (parallel/pipeline_octaves.py — PP).
+    masks: optional fused in-ladder extrema masks
+    (ops.pyramid.build_scale_space_and_masks_jax)."""
     use_pallas = _resolve_kp_backend(cfg) == "pallas"
     caps = octave_capacities(shape, cfg)
     if use_pallas and cfg.kp_multi_launch:
-        return _describe_octaves_pallas(octaves, caps, cfg)
+        return _describe_octaves_pallas(octaves, caps, cfg, masks=masks)
     if use_pallas:
         return _describe_octaves_pallas_per_octave(octaves, caps, cfg)
 
@@ -178,7 +182,7 @@ def _describe_octaves_pallas_per_octave(octaves, caps,
 
 def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
                              max_ori: int = None,
-                             oct_ids=None) -> KeypointBuffer:
+                             oct_ids=None, masks=None) -> KeypointBuffer:
     """Pallas production path: one multi-octave compact launch, one
     atlas-refine launch (ops.detect.detect_all_octaves_pallas), and one
     fused orientation+descriptor launch over a gradient-plane atlas (the
@@ -198,7 +202,7 @@ def _describe_octaves_pallas(octaves, caps, cfg: SiftConfig,
     interp = cfg.pallas_interpret
     detected = detect_all_octaves_pallas(
         [dogs for _, dogs in octaves], cfg, [c for c, _ in caps],
-        interpret=interp, oct_ids=oct_ids,
+        interpret=interp, oct_ids=oct_ids, masks=masks,
     )
     if cfg.grad_backend == "pallas":
         mag_a, ori_a, row_starts = grad_atlas_pallas(
@@ -318,11 +322,15 @@ def detect_and_describe_batched(imgs: jnp.ndarray,
             jnp.stack([getattr(b, fld) for b in bufs])
             for fld in KeypointBuffer._fields
         ])
-    octs = []
+    octs, masks = [], []
     for f in range(B):
-        octs.extend(build_scale_space_jax(imgs[f], cfg))
+        o_f, m_f = build_scale_space_and_masks_jax(imgs[f], cfg)
+        octs.extend(o_f)
+        masks.extend(m_f if m_f is not None else [None] * len(o_f))
+    if all(m is None for m in masks):
+        masks = None
     buf = _describe_octaves_pallas(
-        octs, caps1 * B, cfg, oct_ids=list(range(n_oct)) * B
+        octs, caps1 * B, cfg, oct_ids=list(range(n_oct)) * B, masks=masks
     )
     n = buf.x.shape[0] // B
     return KeypointBuffer(

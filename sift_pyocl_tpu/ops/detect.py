@@ -293,7 +293,7 @@ def decode_compacted(octave_dogs, masks, caps, row_starts, idx_all, written,
 
 def detect_all_octaves_pallas(
     octave_dogs, cfg: SiftConfig, caps, interpret: bool = False,
-    oct_ids=None,
+    oct_ids=None, masks=None,
 ):
     """Detection for ALL octaves with ONE compaction launch.
 
@@ -315,7 +315,12 @@ def detect_all_octaves_pallas(
     if oct_ids is None:
         oct_ids = list(range(len(octave_dogs)))
     atlas, row_starts = build_dog_atlas(octave_dogs)
-    if cfg.mask_backend == "pallas":
+    if masks is not None:
+        # fused in-ladder masks (ops.pallas.ladder{0,}.py mask_cfg path);
+        # octaves whose ladder did not run fall back to the XLA stencil
+        masks = [m if m is not None else extrema_mask(d, cfg, o)
+                 for m, o, d in zip(masks, oct_ids, octave_dogs)]
+    elif cfg.mask_backend == "pallas":
         from .pallas.maskk import extrema_masks_atlas_pallas
 
         masks = extrema_masks_atlas_pallas(

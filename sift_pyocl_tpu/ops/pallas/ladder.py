@@ -72,11 +72,17 @@ def _geometry(h1: int, w1: int, n_oct: int):
 
 
 def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
-            n_levels, scales, ds_mode="shrink"):
+            n_levels, scales, ds_mode="shrink", mask_cfg=None):
     n_oct = len(geo)
-    outs = refs[: 2 * n_oct]                 # blur_o, dog_o interleaved
-    b0, b1, b2, nextbase = refs[2 * n_oct : 2 * n_oct + 4]
-    sem, osem = refs[2 * n_oct + 4 :]
+    per = 3 if mask_cfg is not None else 2
+    outs = refs[: per * n_oct]          # blur_o, dog_o[, mask_o] interleaved
+    if mask_cfg is not None:
+        (b0, b1, b2, nextbase, d0, d1, d2, mbuf,
+         sem, osem, msem) = refs[per * n_oct :]
+        dring = [d0, d1, d2]
+    else:
+        b0, b1, b2, nextbase = refs[per * n_oct : per * n_oct + 4]
+        sem, osem = refs[per * n_oct + 4 :]
     bufs = [b0, b1, b2]
 
     # first small octave's base -> bufs[0] at the buffer origin (the 2x
@@ -216,8 +222,96 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
                     ER, t, preferred_element_type=jnp.float32
                 )
 
-        blur_out = outs[2 * o]
-        dog_out = outs[2 * o + 1]
+        def compute_mask(sd, mask_out, o=o, H=H, W=W, Hp8=Hp8,
+                         Wp128=Wp128, Hb=Hb, Wb=Wb):
+            """Extrema mask for DoG scale sd from the VMEM-resident dring
+            (oracle.local_maxmin numerics, bit-identical to
+            ops.detect.extrema_mask on the same DoG values).  The image sits
+            at the buffer ORIGIN here, so row/col -1 neighbors come from a
+            1-step pltpu.roll whose wrapped first row/col is garbage — those
+            cells lie inside the discarded [0, bd) border."""
+            peak_thresh, eths = mask_cfg
+            eth = eths[o]
+            D0, D1, D2 = (dring[(sd - 1) % 3], dring[sd % 3],
+                          dring[(sd + 1) % 3])
+            CH = next(c for c in (64, 32, 16, 8) if Hp8 % c == 0)
+
+            def chunk(rb, first):
+                # col -1 / +1 neighbors via one ±1 pltpu.roll per plane
+                # (Wb == Wp128 on the smallest octaves, so a +1 static
+                # slice would run off the buffer); the wrapped first/last
+                # columns are garbage inside the discarded [0, bd) border.
+                rows = []
+                for D in (D0, D1, D2):
+                    if first:
+                        x = D[pl.ds(0, CH + 16), 0:Wb]
+                        xu = pltpu.roll(x, 1, 0)   # xu[i] = x[i-1]
+                        sl = (lambda z: z[0:CH], lambda z: z[0:CH],
+                              lambda z: z[1 : 1 + CH])
+                        srcs = (xu, x, x)
+                    else:
+                        lb = pl.multiple_of(rb * CH - 8, 8)
+                        x = D[pl.ds(lb, CH + 16), 0:Wb]
+                        sl = (lambda z: z[7 : 7 + CH],
+                              lambda z: z[8 : 8 + CH],
+                              lambda z: z[9 : 9 + CH])
+                        srcs = (x, x, x)
+                    xl = pltpu.roll(x, 1, 1)        # xl[:, j] = x[:, j-1]
+                    xr = pltpu.roll(x, Wb - 1, 1)   # xr[:, j] = x[:, j+1]
+                    if first:
+                        xul = pltpu.roll(xu, 1, 1)
+                        xur = pltpu.roll(xu, Wb - 1, 1)
+                        srcs_l = (xul, xl, xl)
+                        srcs_r = (xur, xr, xr)
+                    else:
+                        srcs_l = (xl, xl, xl)
+                        srcs_r = (xr, xr, xr)
+                    trip = tuple(sl[i](srcs[i])[:, 0:Wp128]
+                                 for i in range(3))
+                    tripl = tuple(sl[i](srcs_l[i])[:, 0:Wp128]
+                                  for i in range(3))
+                    tripr = tuple(sl[i](srcs_r[i])[:, 0:Wp128]
+                                  for i in range(3))
+                    rows.append((tripl, trip, tripr))
+                va = rows[1][1][1]
+                strong = jnp.abs(va) > jnp.float32(0.8 * peak_thresh)
+                ismax = strong
+                ismin = strong
+                for pi, triples in enumerate(rows):
+                    for ri in range(3):
+                        for ci in range(3):
+                            if pi == 1 and ri == 1 and ci == 1:
+                                continue
+                            nb = triples[ci][ri]
+                            ismax = ismax & (va > nb)
+                            ismin = ismin & (va < nb)
+                (xal, xcl, xbl), (xa, xc, xb), (xar, xcr, xbr) = rows[1]
+                ctr = va
+                hxx = xcl + xcr - 2 * ctr
+                hyy = xa + xb - 2 * ctr
+                hxy = 0.25 * (xbr - xbl - xar + xal)
+                det = hxx * hyy - hxy * hxy
+                tr = hxx + hyy
+                not_edge = (det > 0) & (det >= jnp.float32(eth) * tr * tr)
+                m = (ismax | ismin) & not_edge
+                mbuf[pl.ds(pl.multiple_of(rb * CH, 8), CH), 0:Wp128] = (
+                    m.astype(jnp.int8)
+                )
+                return 0
+
+            chunk(0, True)
+            if Hp8 // CH > 1:
+                lax.fori_loop(1, Hp8 // CH, lambda rb, _: chunk(rb, False),
+                              0)
+            cp = pltpu.make_async_copy(
+                mbuf.at[pl.ds(0, Hp8), pl.ds(0, Wp128)],
+                mask_out.at[sd - 1], msem,
+            )
+            cp.start()
+            cp.wait()
+
+        blur_out = outs[per * o]
+        dog_out = outs[per * o + 1]
         emit(bufs[0], blur_out, 0)           # level 0 = octave base
         cur, htmp, nxt = 0, 1, 2
         for lvl in range(n_levels):
@@ -226,9 +320,12 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
             edge_replicate(bufs[htmp])
             conv_pass(bufs[htmp], bufs[nxt], lvl, 0)   # vertical
             emit(bufs[nxt], blur_out, lvl + 1)
-            # DoG staged through the (now idle) horizontal-pass buffer,
+            # DoG staged through the (now idle) horizontal-pass buffer —
+            # or the dring ring when the fused mask needs 3 live scales —
             # subtracted in row chunks (VMEM stack discipline)
-            def dog_chunk(rb, _, a=bufs[nxt], b=bufs[cur], d=bufs[htmp],
+            dtgt = dring[lvl % 3] if mask_cfg is not None else bufs[htmp]
+
+            def dog_chunk(rb, _, a=bufs[nxt], b=bufs[cur], d=dtgt,
                           Hb=Hb, Wb=Wb):
                 r0_ = pl.multiple_of(rb * 8, 8)
                 d[pl.ds(r0_, 8), 0:Wb] = (
@@ -237,7 +334,9 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
                 return 0
 
             lax.fori_loop(0, Hb // 8, dog_chunk, 0)
-            emit(bufs[htmp], dog_out, lvl)
+            emit(dtgt, dog_out, lvl)
+            if mask_cfg is not None and lvl >= 2:
+                compute_mask(lvl - 1, outs[per * o + 2])
             if lvl == scales - 1 and o + 1 < len(geo):
                 downsample(bufs[nxt])        # level `scales`, before overwrite
             cur, nxt = nxt, cur
@@ -249,7 +348,8 @@ def _kernel(taps_ref, base_hbm, *refs, geo, tap_offsets, tap_sizes,
 
 @functools.partial(jax.jit, static_argnames=("cfg_key", "interpret"))
 def _run(base1, taps_flat, cfg_key, interpret):
-    (h1, w1, n_oct, tap_offsets, tap_sizes, n_levels, scales, ds_mode) = cfg_key
+    (h1, w1, n_oct, tap_offsets, tap_sizes, n_levels, scales, ds_mode,
+     mask_cfg) = cfg_key
     geo = _geometry(h1, w1, n_oct)
     Hb, Wb = geo[0][4], geo[0][5]
     HbN = geo[1][4] if n_oct > 1 else 8
@@ -262,9 +362,29 @@ def _run(base1, taps_flat, cfg_key, interpret):
         out_shapes.append(
             jax.ShapeDtypeStruct((n_levels, Hp8, Wp128), jnp.float32)
         )
+        if mask_cfg is not None:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((n_levels - 2, Hp8, Wp128), jnp.int8)
+            )
     base_pad = jnp.pad(
         base1, ((0, geo[0][2] - h1), (0, geo[0][3] - w1)), mode="edge"
     )
+    scratch = [
+        pltpu.VMEM((Hb, Wb), jnp.float32),
+        pltpu.VMEM((Hb, Wb), jnp.float32),
+        pltpu.VMEM((Hb, Wb), jnp.float32),
+        pltpu.VMEM((HbN, WbN), jnp.float32),
+    ]
+    if mask_cfg is not None:
+        scratch += [
+            pltpu.VMEM((Hb, Wb), jnp.float32),
+            pltpu.VMEM((Hb, Wb), jnp.float32),
+            pltpu.VMEM((Hb, Wb), jnp.float32),
+            pltpu.VMEM((geo[0][2], geo[0][3]), jnp.int8),
+        ]
+    scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+    if mask_cfg is not None:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
     outs = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -274,6 +394,7 @@ def _run(base1, taps_flat, cfg_key, interpret):
             n_levels=n_levels,
             scales=scales,
             ds_mode=ds_mode,
+            mask_cfg=mask_cfg,
         ),
         grid=(1,),
         in_specs=[
@@ -284,14 +405,7 @@ def _run(base1, taps_flat, cfg_key, interpret):
             pl.BlockSpec(memory_space=pl.ANY) for _ in out_shapes
         ),
         out_shape=tuple(out_shapes),
-        scratch_shapes=[
-            pltpu.VMEM((Hb, Wb), jnp.float32),
-            pltpu.VMEM((Hb, Wb), jnp.float32),
-            pltpu.VMEM((Hb, Wb), jnp.float32),
-            pltpu.VMEM((HbN, WbN), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         # the static-slice conv rewrite sits just past Mosaic's default
         # 16 MB scoped-VMEM limit (scratch ~7 MB + unrolled chunk temps);
         # v5e has 128 MB of physical VMEM — raise the cap instead of
@@ -311,13 +425,20 @@ def small_octaves_ladder(
     scales: int,
     ds_mode: str = "shrink",
     interpret: bool = False,
-) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    mask_cfg=None,
+) -> List[Tuple[jnp.ndarray, ...]]:
     """Blur/DoG stacks for octaves >= 1 in ONE kernel launch.
 
     base1: (H1, W1) f32 — the first small octave's base image (octave 0's
     level-`scales` blur, downsampled in XLA via ops.pyramid.downsample2).
     increments: per-level Gaussian sigma increments (len = scales + 2).
     Returns [(blurs (S+3, H, W), dogs (S+2, H, W)), ...] per octave.
+
+    mask_cfg: optional (peak_thresh, (eth_per_octave, ...)) — when given,
+    each octave's extrema mask (oracle.local_maxmin) is computed IN-KERNEL
+    from the VMEM-resident DoG planes and returned as a third per-octave
+    value, an (S, H, W) int8 stack whose border rows/cols are garbage
+    (slice [bd:-bd] before use).
     """
     from ...oracle import gaussian_kernel
 
@@ -332,13 +453,17 @@ def small_octaves_ladder(
     h1, w1 = base1.shape
     cfg_key = (
         h1, w1, n_oct, tuple(offsets), tuple(sizes), len(taps_list), scales,
-        ds_mode,
+        ds_mode, mask_cfg,
     )
     outs = _run(base1, taps_flat, cfg_key, interpret)
     geo = _geometry(h1, w1, n_oct)
+    per = 3 if mask_cfg is not None else 2
     result = []
     for o, (H, W, _, _, _, _) in enumerate(geo):
-        blurs = outs[2 * o][:, :H, :W]
-        dogs = outs[2 * o + 1][:, :H, :W]
-        result.append((blurs, dogs))
+        blurs = outs[per * o][:, :H, :W]
+        dogs = outs[per * o + 1][:, :H, :W]
+        if mask_cfg is not None:
+            result.append((blurs, dogs, outs[per * o + 2][:, :H, :W]))
+        else:
+            result.append((blurs, dogs))
     return result

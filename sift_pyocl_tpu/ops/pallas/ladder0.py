@@ -49,9 +49,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(base_hbm, blur_out, dog_out, b0, b1, b2, sem, osem, *,
-            H, W, Hp8, Hb, n_strips, taps_all):
+def _kernel(base_hbm, *refs, H, W, Hp8, Hb, n_strips, taps_all, mask_cfg):
     s = pl.program_id(0)
+    if mask_cfg is not None:
+        (blur_out, dog_out, mask_out, b0, b1, b2, d0, d1, d2, mbuf,
+         sem, osem, msem) = refs
+        dbufs = [d0, d1, d2]
+    else:
+        blur_out, dog_out, b0, b1, b2, sem, osem = refs
     bufs = [b0, b1, b2]
     n_levels = len(taps_all)
     last_w = W - (n_strips - 1) * SW        # true cols in the last strip
@@ -105,6 +110,62 @@ def _kernel(base_hbm, blur_out, dog_out, b0, b1, b2, sem, osem, *,
         cp.start()
         cp.wait()
 
+    def compute_mask(sd):
+        """Extrema mask plane for DoG scale sd (oracle.local_maxmin numerics,
+        bit-identical to ops.detect.extrema_mask on the same DoG values: the
+        three scale planes sit in the dbufs ring, already resident in VMEM —
+        the whole point of fusing here is skipping the HBM re-read an XLA
+        mask stage would do).  Rows/cols outside [bd, dim-bd) are garbage
+        (margins are edge replicas); the caller slices them off."""
+        peak_thresh, eth = mask_cfg
+        D0, D1, D2 = (dbufs[(sd - 1) % 3], dbufs[sd % 3], dbufs[(sd + 1) % 3])
+        CH = next(c for c in (64, 32, 16, 8) if Hp8 % c == 0)
+
+        def chunk(rb, _):
+            lb = pl.multiple_of(rb * CH + (MR - 8), 8)
+            rows = []
+            for D in (D0, D1, D2):
+                x = D[pl.ds(lb, CH + 16), 0:SB]
+                rows.append((x[7 : 7 + CH], x[8 : 8 + CH], x[9 : 9 + CH]))
+            va = rows[1][1][:, SM : SM + SW]
+            strong = jnp.abs(va) > jnp.float32(0.8 * peak_thresh)
+            ismax = strong
+            ismin = strong
+            for pi, triple in enumerate(rows):
+                for ri, xr in enumerate(triple):
+                    for dc in (-1, 0, 1):
+                        if pi == 1 and ri == 1 and dc == 0:
+                            continue
+                        nb = xr[:, SM + dc : SM + dc + SW]
+                        ismax = ismax & (va > nb)
+                        ismin = ismin & (va < nb)
+            xa, xc, xb = rows[1]
+            ctr = va
+            hxx = xc[:, SM - 1 : SM - 1 + SW] + xc[:, SM + 1 : SM + 1 + SW] - 2 * ctr
+            hyy = xa[:, SM : SM + SW] + xb[:, SM : SM + SW] - 2 * ctr
+            hxy = 0.25 * (
+                xb[:, SM + 1 : SM + 1 + SW]
+                - xb[:, SM - 1 : SM - 1 + SW]
+                - xa[:, SM + 1 : SM + 1 + SW]
+                + xa[:, SM - 1 : SM - 1 + SW]
+            )
+            det = hxx * hyy - hxy * hxy
+            tr = hxx + hyy
+            not_edge = (det > 0) & (det >= jnp.float32(eth) * tr * tr)
+            m = (ismax | ismin) & not_edge
+            mbuf[pl.ds(pl.multiple_of(rb * CH, 8), CH), 0:SW] = m.astype(
+                jnp.int8
+            )
+            return 0
+
+        lax.fori_loop(0, Hp8 // CH, chunk, 0)
+        cp = pltpu.make_async_copy(
+            mbuf.at[pl.ds(0, Hp8), pl.ds(0, SW)],
+            mask_out.at[sd - 1, pl.ds(0, Hp8), pl.ds(s * SW, SW)], msem,
+        )
+        cp.start()
+        cp.wait()
+
     # level 0 = pre-blur of the base to init_sigma
     cur, htmp, nxt = 0, 1, 2
     for lvl in range(n_levels):
@@ -116,46 +177,63 @@ def _kernel(base_hbm, blur_out, dog_out, b0, b1, b2, sem, osem, *,
         emit(bufs[nxt], blur_out, lvl)
         if lvl >= 1:
             a, b = bufs[nxt], bufs[cur]
-            d = bufs[htmp]
+            d = dbufs[(lvl - 1) % 3] if mask_cfg is not None else bufs[htmp]
             d[0:Hb, 0:SB] = a[0:Hb, 0:SB] - b[0:Hb, 0:SB]
             emit(d, dog_out, lvl - 1)
+            if mask_cfg is not None and lvl >= 3:
+                compute_mask(lvl - 2)
         cur, nxt = nxt, cur
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_key", "interpret"))
 def _run(base_pad, cfg_key, interpret):
-    (H, W, taps_all) = cfg_key
+    (H, W, taps_all, mask_cfg) = cfg_key
     Hp8 = _round_up(H, 8)
     Hb = _round_up(MR + H + MR, 8)
     n_strips = -(-W // SW)
     Wp = n_strips * SW
     n_levels = len(taps_all)
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_levels, Hp8, Wp), jnp.float32),
+        jax.ShapeDtypeStruct((n_levels - 1, Hp8, Wp), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((Hb, SB), jnp.float32),
+        pltpu.VMEM((Hb, SB), jnp.float32),
+        pltpu.VMEM((Hb, SB), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if mask_cfg is not None:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_levels - 3, Hp8, Wp), jnp.int8)
+        )
+        scratch = scratch[:3] + [
+            pltpu.VMEM((Hb, SB), jnp.float32),
+            pltpu.VMEM((Hb, SB), jnp.float32),
+            pltpu.VMEM((Hb, SB), jnp.float32),
+            pltpu.VMEM((Hp8, SW), jnp.int8),
+        ] + scratch[3:] + [pltpu.SemaphoreType.DMA(())]
     outs = pl.pallas_call(
         functools.partial(
             _kernel, H=H, W=W, Hp8=Hp8, Hb=Hb, n_strips=n_strips,
-            taps_all=taps_all,
+            taps_all=taps_all, mask_cfg=mask_cfg,
         ),
         grid=(n_strips,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_levels, Hp8, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((n_levels - 1, Hp8, Wp), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((Hb, SB), jnp.float32),
-            pltpu.VMEM((Hb, SB), jnp.float32),
-            pltpu.VMEM((Hb, SB), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
+                        for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=sum(2 * 2 * len(t) * Hb * SB for t in taps_all) * n_strips,
             bytes_accessed=4 * n_strips * (Hp8 * SB + 11 * Hp8 * SW),
             transcendentals=0,
+        ),
+        # the 3 extra DoG ring buffers of the fused mask push scratch past
+        # Mosaic's default 16 MB scoped-VMEM cap (v5e has 128 MB physical)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(base_pad)
@@ -180,12 +258,17 @@ def octave0_ladder(
     pre_sigma: float,
     increments: Sequence[float],
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    mask_cfg: Tuple[float, float] = None,
+) -> Tuple[jnp.ndarray, ...]:
     """Blur stack (S+3,H,W) and DoG stack (S+2,H,W) of octave 0, one launch.
 
     normalized: the [0,255] f32 image (already doubled if DoubleImSize);
     pre_sigma: the sigma of the pre-blur to init_sigma (level 0);
     increments: per-level sigma increments (len = scales+2).
+    mask_cfg: optional (peak_thresh, edge_thresh) — when given, the extrema
+    mask (oracle.local_maxmin) is computed IN-KERNEL from the VMEM-resident
+    DoG strips and returned as a third value, an (S, H, W) int8 stack whose
+    border rows/cols are garbage (slice [bd:-bd] before use).
     """
     from .conv import blur_taps
 
@@ -204,6 +287,9 @@ def octave0_ladder(
         ((0, Hp8 - H), (SM, Wpad - SM - W)),
         mode="edge",
     )
-    cfg_key = (H, W, taps_all)
-    blurs, dogs = _run(base_pad, cfg_key, interpret)
+    cfg_key = (H, W, taps_all, mask_cfg)
+    outs = _run(base_pad, cfg_key, interpret)
+    blurs, dogs = outs[0], outs[1]
+    if mask_cfg is not None:
+        return blurs[:, :H, :W], dogs[:, :H, :W], outs[2][:, :H, :W]
     return blurs[:, :H, :W], dogs[:, :H, :W]

@@ -204,6 +204,12 @@ def downsample_octave(img: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
     return downsample2_bin(img) if cfg.downsample_mode == "bin" else downsample2(img)
 
 
+def _octave_eth(cfg: SiftConfig, octave: int) -> float:
+    """Edge threshold by the octsize<=1 rule (oracle.local_maxmin)."""
+    octsize = 2.0 ** (octave - 1) if cfg.double_im_size else 2.0 ** octave
+    return cfg.edge_thresh1 if octsize <= 1.0 else cfg.edge_thresh
+
+
 def build_scale_space_jax(
     img: jnp.ndarray, cfg: SiftConfig
 ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
@@ -213,10 +219,31 @@ def build_scale_space_jax(
     remaining octaves come from ONE fused ladder launch (they fit in VMEM;
     per-launch overhead would otherwise dominate — SURVEY.md §7.2).
     """
+    return build_scale_space_and_masks_jax(img, cfg)[0]
+
+
+def build_scale_space_and_masks_jax(img: jnp.ndarray, cfg: SiftConfig):
+    """Scale space plus (optionally) fused in-kernel extrema masks.
+
+    Returns (octaves, masks): octaves as in build_scale_space_jax; masks is
+    None unless cfg.mask_backend == "fused" AND the Pallas ladder kernels
+    ran, in which case it is a per-octave list of border-stripped
+    (S-2, H-2bd, W-2bd) int8 masks, bit-identical to ops.detect.extrema_mask
+    (entries may be None for octaves whose ladder did not run — callers fall
+    back to the XLA mask per octave)."""
     backend = cfg.conv_backend
     if backend == "auto":
         backend = "pallas" if on_tpu() else "xla"
     n_oct = cfg.n_octaves(img.shape[:2])
+    fuse_mask = cfg.mask_backend == "fused" and backend == "pallas"
+    bd = cfg.border_dist
+
+    def strip(mask_full):
+        if mask_full is None:
+            return None
+        _, H, W = mask_full.shape
+        return mask_full[:, bd : H - bd, bd : W - bd]
+
     cur0 = cfg.orig_sigma * (2.0 if cfg.double_im_size else 1.0)
     use_strip = False
     if backend == "pallas" and cfg.init_sigma > cur0:
@@ -225,34 +252,53 @@ def build_scale_space_jax(
         pre = float(np.sqrt(cfg.init_sigma**2 - cur0**2))
         # large init_sigma taps exceed the strip margins -> per-level path
         use_strip = octave0_ladder_supported(pre, cfg.sigma_increments())
+    mask0 = None
     if use_strip:
         # octave 0 (too big for whole-plane VMEM) in ONE strip-ladder launch:
         # pre-blur + all levels + DoGs fused (ops/pallas/ladder0.py)
         data = normalize_image_jax(img)
         if cfg.double_im_size:
             data = upscale2_jax(data)
-        blurs0, dogs0 = octave0_ladder(
-            data, pre, cfg.sigma_increments(),
-            interpret=cfg.pallas_interpret,
-        )
+        if fuse_mask:
+            blurs0, dogs0, mask0 = octave0_ladder(
+                data, pre, cfg.sigma_increments(),
+                interpret=cfg.pallas_interpret,
+                mask_cfg=(cfg.peak_thresh, _octave_eth(cfg, 0)),
+            )
+        else:
+            blurs0, dogs0 = octave0_ladder(
+                data, pre, cfg.sigma_increments(),
+                interpret=cfg.pallas_interpret,
+            )
     else:
         base = prepare_input_jax(img, cfg)
         blurs0, dogs0 = build_octave_jax(base, cfg)
     octaves = [(blurs0, dogs0)]
+    masks = [strip(mask0)]
     if n_oct > 1:
         if backend == "pallas":
             from .pallas.ladder import small_octaves_ladder
 
-            octaves += small_octaves_ladder(
+            mc = None
+            if fuse_mask:
+                mc = (cfg.peak_thresh,
+                      tuple(_octave_eth(cfg, o) for o in range(1, n_oct)))
+            small = small_octaves_ladder(
                 downsample_octave(blurs0[cfg.scales], cfg),
                 cfg.sigma_increments(),
                 n_oct - 1, cfg.scales, ds_mode=cfg.downsample_mode,
-                interpret=cfg.pallas_interpret,
+                interpret=cfg.pallas_interpret, mask_cfg=mc,
             )
+            for entry in small:
+                octaves.append((entry[0], entry[1]))
+                masks.append(strip(entry[2]) if mc is not None else None)
         else:
             b = downsample_octave(blurs0[cfg.scales], cfg)
             for _ in range(1, n_oct):
                 blurs, dogs = build_octave_jax(b, cfg)
                 octaves.append((blurs, dogs))
+                masks.append(None)
                 b = downsample_octave(blurs[cfg.scales], cfg)
-    return octaves
+    if not fuse_mask:
+        return octaves, None
+    return octaves, masks

@@ -406,3 +406,29 @@ def test_fused_orient_desc_colsum_matches_scalar():
     np.testing.assert_allclose(a1[k0], a0[k0], atol=1e-5)
     scale = np.abs(r0).max() + 1e-9
     np.testing.assert_allclose(r1[k0] / scale, r0[k0] / scale, atol=1e-5)
+
+
+def test_fused_ladder_masks_match_xla(scene160):
+    """Fused in-ladder extrema masks (mask_backend="fused": computed inside
+    ladder0/ladder while the DoG planes are VMEM-resident) vs
+    ops.detect.extrema_mask: exact per-octave equality, all octaves."""
+    import dataclasses
+
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.ops.detect import extrema_mask
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_and_masks_jax
+
+    cfg = dataclasses.replace(
+        SiftConfig(), conv_backend="pallas", pallas_interpret=True,
+        mask_backend="fused",
+    )
+    octs, masks = build_scale_space_and_masks_jax(jnp.asarray(scene160), cfg)
+    assert masks is not None and all(m is not None for m in masks)
+    total = 0
+    for o, (_, d) in enumerate(octs):
+        want = np.asarray(extrema_mask(d, cfg, o))
+        np.testing.assert_array_equal(
+            np.asarray(masks[o]) != 0, want, err_msg=f"octave {o}"
+        )
+        total += want.sum()
+    assert total > 5  # the scene must actually produce extrema

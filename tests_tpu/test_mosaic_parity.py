@@ -217,3 +217,24 @@ def test_batched_frontend_mosaic_matches_single(scene160):
         dd = np.abs(np.asarray(bb.desc[f])[m].astype(np.int32)
                     - np.asarray(b1.desc)[m].astype(np.int32))
         assert dd.max() <= 1 and (dd > 0).mean() < 0.01, (f, int(dd.max()))
+
+
+def test_fused_ladder_masks_mosaic_matches_xla(scene160):
+    """Mosaic-compiled fused in-ladder extrema masks (mask_backend="fused")
+    vs the XLA stencil: exact per-octave equality on the chip."""
+    import dataclasses
+
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.ops.detect import extrema_mask
+    from sift_pyocl_tpu.ops.pyramid import build_scale_space_and_masks_jax
+
+    cfg = dataclasses.replace(
+        SiftConfig(), conv_backend="pallas", mask_backend="fused",
+    )
+    octs, masks = build_scale_space_and_masks_jax(jnp.asarray(scene160), cfg)
+    assert masks is not None and all(m is not None for m in masks)
+    for o, (_, d) in enumerate(octs):
+        want = np.asarray(extrema_mask(d, cfg, o))
+        np.testing.assert_array_equal(
+            np.asarray(masks[o]) != 0, want, err_msg=f"octave {o}"
+        )
