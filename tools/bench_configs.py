@@ -1,0 +1,110 @@
+"""Timings for BASELINE.json measurement configs 2 and 4 on the real chip.
+
+Config 2 — pairwise 1080p matching: detect+describe BOTH frames, ratio-test
+match, RANSAC homography, all inside ONE jitted program, timed with the
+chained-slope protocol (utils/benchtool.py).  Config 4 — 50-frame small SfM
+(two-view init + sequential PnP + triangulation + periodic/final BA +
+loop closure): host-driven loop, so honest WALL time per frame (each frame
+is distinct data — the platform's call memoization cannot shortcut it),
+plus the final ATE.
+
+Configs 1/3/5 are covered elsewhere: 1 = keypoint parity tests (512²),
+3 = bench.py sift/vo headline + parallel/video DP, 5 = bench_distributed.py.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def config2_pairwise(shape, n_hi, reps):
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.models.sift import detect_and_describe
+    from sift_pyocl_tpu.ops.match import match_descriptors_dense
+    from sift_pyocl_tpu.sfm.ransac import ransac_homography
+    from sift_pyocl_tpu.utils.benchtool import chained_ms
+    from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+    cfg = SiftConfig()
+    img = jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
+    key = jax.random.PRNGKey(0)
+
+    def step(c):
+        b1 = detect_and_describe(c, cfg)
+        b2 = detect_and_describe(c[::-1], cfg)   # distinct second frame
+        keep, mid, d, _ = match_descriptors_dense(
+            b1.desc, b1.valid, b2.desc, b2.valid, metric="l2",
+            ratio_sq=0.5329 ** 2,
+        )
+        uv1 = jnp.stack([b1.x, b1.y], -1)
+        uv2 = jnp.stack([b2.x, b2.y], -1)[mid]
+        res = ransac_homography(key, uv1, uv2, keep)
+        return [res.n_inliers, res.model.sum(), keep.sum()]
+
+    ms = chained_ms(step, img, n_hi=n_hi, reps=reps)
+    return {"config2_pair_ms": round(ms, 3),
+            "config2_pairs_per_s": round(1000.0 / ms, 1)}
+
+
+def config4_sfm(n_frames):
+    from sift_pyocl_tpu import SiftConfig
+    from sift_pyocl_tpu.sfm.evaluate import ate_rmse, camera_centers
+    from sift_pyocl_tpu.sfm.pipeline import IncrementalSfM
+    from sift_pyocl_tpu.utils.render3d import render_sequence
+
+    K, frames, gtR, gtT = render_sequence(
+        n_frames=n_frames, n_points=120, image_size=(320, 240), seed=0,
+        arc_deg=40.0,
+    )
+    sfm = IncrementalSfM(K, frames[0].shape,
+                         cfg=SiftConfig(kp_per_octave_cap=256), ba_every=8)
+    sfm.run(frames[:3])        # warm the compiles out of the timed region
+    sfm2 = IncrementalSfM(K, frames[0].shape,
+                          cfg=SiftConfig(kp_per_octave_cap=256), ba_every=8)
+    t0 = time.perf_counter()
+    res = sfm2.run(frames)
+    wall = time.perf_counter() - t0
+    out = {"config4_frames": n_frames,
+           "config4_wall_s": round(wall, 2),
+           "config4_fps": round(n_frames / wall, 2)}
+    if res is not None:
+        reg = res.frames_registered
+        ate = ate_rmse(camera_centers(res.Rs, res.ts),
+                       camera_centers(gtR[reg], gtT[reg]))
+        out["config4_ate"] = round(float(ate), 4)
+        out["config4_registered"] = len(reg)
+        out["config4_points"] = int(len(res.points))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--n-hi", type=int, default=9)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--configs", type=str, default="2,4")
+    args = ap.parse_args()
+    want = set(args.configs.split(","))
+    out = {}
+    if "2" in want:
+        out.update(config2_pairwise(tuple(args.shape), args.n_hi, args.reps))
+        print(json.dumps(out), flush=True)
+    if "4" in want:
+        out.update(config4_sfm(args.frames))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
