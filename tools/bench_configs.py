@@ -44,7 +44,7 @@ def config2_pairwise(shape, n_hi, reps):
         b1 = detect_and_describe(c, cfg)
         b2 = detect_and_describe(c[::-1], cfg)   # distinct second frame
         keep, mid, d, _ = match_descriptors_dense(
-            b1.desc, b1.valid, b2.desc, b2.valid, metric="l2",
+            b1.desc, b1.valid, b2.desc, b2.valid, metric="L2",
             ratio_sq=0.5329 ** 2,
         )
         uv1 = jnp.stack([b1.x, b1.y], -1)
