@@ -9,10 +9,20 @@ frame.  The SIFT-frontend-only number is reported in the detail line.
 
 Driver-proofing (round 2): the round-1 official number was lost to a single
 transient tunnel error (`remote_compile: response body closed`).  Every
-compile/measure stage is now wrapped in retry-with-backoff; if the target
-shape keeps failing we fall back to smaller shapes; and the headline JSON
-line is ALWAYS emitted with whatever stages succeeded (SIFT-only if the VO
-step fails everywhere).  rc=0 whenever at least one stage produced a number.
+compile/measure stage is now wrapped in retry-with-backoff; and the headline
+JSON line is ALWAYS emitted with whatever stages succeeded (SIFT-only if the
+VO step fails everywhere).  rc=0 whenever at least one stage produced a
+number.
+
+Driver-proofing (round 4): BENCH_r03 failed because shapes ran LARGEST-
+first — two 700 s cold-compile attempts at 1080p ate the 1500 s deadline
+before any fallback could bank a number.  The loop is now a CLIMB: bank the
+smallest shape first (judge-proven to complete rc=0 in <10 min cold), then
+attempt each larger rung with a budget-aware stage timeout; once any number
+is banked, retries stop being spent and the watchdog exits 0 no matter
+where the climb stalls.  The persistent compile cache is instrumented
+(entry counts before/after + jax_explain_cache_misses) so BASELINE.md can
+finally say whether it hits on this platform's remote-compile path.
 
 Methodology (see sift_pyocl_tpu/utils/benchtool.py — measured axon-platform
 quirks): `block_until_ready` does not await real device execution here and
@@ -131,14 +141,23 @@ def main() -> int:
 
     # Persistent compile cache: harmless if the platform's remote compiler
     # ignores it, a large wall-time win if honored across driver rounds.
+    # Instrumented (round 4): entry counts before/after land in the detail
+    # line so cache effectiveness is a recorded fact, not an assumption —
+    # round-3 evidence suggests the remote Mosaic path bypasses it.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_compile_cache")
+    cache_entries_before = -1
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        cache_entries_before = len(os.listdir(cache_dir))
         import jax
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        try:
+            jax.config.update("jax_explain_cache_misses", True)
+        except Exception:  # noqa: BLE001 — flag name varies by jax version
+            pass
     except Exception as e:  # noqa: BLE001
         _log(f"compile cache unavailable: {e}")
 
@@ -158,8 +177,15 @@ def main() -> int:
     wall0 = time.perf_counter()
 
     target = tuple(args.shape)
-    fallbacks = [(1080, 1920), (720, 1280), (512, 512), (256, 256)]
-    shapes = [target] + [s for s in fallbacks if s[0] < target[0]]
+    # CLIMB order (round 4): smallest first.  The first rung banks a green
+    # headline in bounded time; each later rung only upgrades it.
+    ladder = [(256, 256), (512, 512), (720, 1280), (1080, 1920)]
+    shapes = [s for s in ladder if s[0] <= target[0] and s[1] <= target[1]]
+    if target not in shapes:
+        shapes.append(target)
+
+    def remaining() -> float:
+        return args.deadline - (time.perf_counter() - wall0)
 
     def make_inputs(shape):
         img = jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
@@ -243,30 +269,38 @@ def main() -> int:
     results = {}  # shape -> {"vo_ms":, "sift_ms":, "n_kp":}
     errors = []
 
+    # Wall-clock reserved for emitting JSON + the final detail computation;
+    # a stage never gets a timeout that would push past the deadline.
+    RESERVE = 45.0
+    MIN_STAGE = 90.0  # below this a cold compile cannot possibly finish
+
     vo_shape = sift_shape = None
-    for shape in shapes:
-        _log(f"trying shape {shape}")
-        # SIFT frontend first: cheaper compile, guarantees *some* number early.
-        if sift_shape is None:
-            val, err = retry(lambda: measure_sift(shape), tries=args.tries,
-                             label=f"sift@{shape}",
-                             timeout_s=args.stage_timeout)
-            if val is not None:
-                ms_sift, n_kp = val
-                results.setdefault(shape, {})["sift_ms"] = ms_sift
-                results[shape]["n_kp"] = n_kp
-                sift_shape = shape
-                _log(f"sift@{shape}: {ms_sift:.3f} ms/frame")
-                _BEST["headline"] = {
-                    "metric": f"sift_frontend_fps_{shape[0]}x{shape[1]}",
-                    "value": round(1000.0 / ms_sift, 2),
-                    "unit": "frames/s",
-                    "vs_baseline": round(1000.0 / ms_sift / 60.0, 4),
-                }
-            else:
-                errors.append(f"sift@{shape}: {type(err).__name__}: {str(err)[:200]}")
-        val, err = retry(lambda: measure_vo(shape), tries=args.tries,
-                         label=f"vo@{shape}", timeout_s=args.stage_timeout)
+    vo_fatal = False  # deterministic compiler rejection: same at every rung
+    for rung, shape in enumerate(shapes):
+        budget = remaining() - RESERVE
+        if budget < MIN_STAGE:
+            _log(f"climb stopped before {shape}: only {budget:.0f}s left")
+            break
+        stage_t = min(args.stage_timeout, budget) if args.stage_timeout > 0 \
+            else budget
+        # Once a number is banked, higher rungs are upgrades: spend ONE
+        # attempt each, never retries (a retry of a 700 s compile is exactly
+        # the burn that killed BENCH_r03).
+        tries = args.tries if _BEST["headline"] is None else 1
+        _log(f"climb rung {rung}: shape {shape} "
+             f"(budget {budget:.0f}s, stage_timeout {stage_t:.0f}s, "
+             f"tries {tries})")
+
+        # VO first: it is the headline metric and its compile subsumes the
+        # full SIFT frontend.
+        if vo_fatal:
+            val, err = None, RuntimeError("skipped: prior fatal VO compile")
+        else:
+            val, err = retry(lambda: measure_vo(shape), tries=tries,
+                             label=f"vo@{shape}", timeout_s=stage_t)
+            if val is None and err is not None and \
+                    any(m in str(err) for m in _FATAL_MARKERS):
+                vo_fatal = True
         if val is not None:
             results.setdefault(shape, {})["vo_ms"] = val
             vo_shape = shape
@@ -277,16 +311,81 @@ def main() -> int:
                 "unit": "frames/s",
                 "vs_baseline": round(1000.0 / val / 60.0, 4),
             }
-            break
-        errors.append(f"vo@{shape}: {type(err).__name__}: {str(err)[:200]}")
-        # sift number is kept from the best shape that worked; only vo falls back.
+        else:
+            errors.append(f"vo@{shape}: {type(err).__name__}: {str(err)[:200]}")
+            if vo_shape is None and (sift_shape is None or vo_fatal):
+                # VO unavailable (not yet banked, or fatally rejected): climb
+                # the cheaper SIFT-only stage so the round still emits the
+                # best number it can.
+                budget = remaining() - RESERVE
+                if budget >= MIN_STAGE:
+                    s_t = min(args.stage_timeout, budget) \
+                        if args.stage_timeout > 0 else budget
+                    sval, serr = retry(lambda: measure_sift(shape),
+                                       tries=1, label=f"sift@{shape}",
+                                       timeout_s=s_t)
+                    if sval is not None:
+                        ms_sift, n_kp = sval
+                        results.setdefault(shape, {})["sift_ms"] = ms_sift
+                        results[shape]["n_kp"] = n_kp
+                        sift_shape = shape
+                        _log(f"sift@{shape}: {ms_sift:.3f} ms/frame")
+                        _BEST["headline"] = {
+                            "metric": f"sift_frontend_fps_{shape[0]}x{shape[1]}",
+                            "value": round(1000.0 / ms_sift, 2),
+                            "unit": "frames/s",
+                            "vs_baseline": round(1000.0 / ms_sift / 60.0, 4),
+                        }
+                    else:
+                        errors.append(f"sift@{shape}: {type(serr).__name__}: "
+                                      f"{str(serr)[:200]}")
+            # A rung that failed cold will not pass warmer above it unless
+            # the failure was transient; keep climbing only if time is ample.
+            if remaining() - RESERVE < 2 * MIN_STAGE:
+                _log("climb stopped after failure: insufficient budget")
+                break
 
+    # Optional SIFT-frontend detail at the best VO shape, only with spare
+    # budget — it is informational, never worth risking the banked headline.
+    if vo_shape is not None and remaining() - RESERVE >= 2 * MIN_STAGE:
+        budget = remaining() - RESERVE
+        s_t = min(args.stage_timeout, budget) if args.stage_timeout > 0 \
+            else budget
+        sval, serr = retry(lambda: measure_sift(vo_shape), tries=1,
+                           label=f"sift@{vo_shape}", timeout_s=s_t)
+        if sval is not None:
+            ms_sift, n_kp = sval
+            results.setdefault(vo_shape, {})["sift_ms"] = ms_sift
+            results[vo_shape]["n_kp"] = n_kp
+            sift_shape = vo_shape
+            _log(f"sift@{vo_shape}: {ms_sift:.3f} ms/frame")
+        else:
+            errors.append(f"sift@{vo_shape}: {type(serr).__name__}: "
+                          f"{str(serr)[:200]}")
+
+    try:
+        cache_entries_after = len(os.listdir(cache_dir))
+    except Exception:  # noqa: BLE001
+        cache_entries_after = -1
     detail = {
         "device": str(jax.devices()[0]) if jax.devices() else "none",
         "bench_wall_s": round(time.perf_counter() - wall0, 1),
-        "method": "chained fori_loop slope, fresh inputs, retry+fallback",
+        "method": "smallest-first climb, chained fori_loop slope, "
+                  "fresh inputs, budget-aware retry",
         "errors": errors,
         "vo": dict(vo._asdict()),
+        "compile_cache": {
+            "dir": cache_dir,
+            "entries_before": cache_entries_before,
+            "entries_after": cache_entries_after,
+            "new_entries": (cache_entries_after - cache_entries_before
+                            if -1 not in (cache_entries_before,
+                                          cache_entries_after) else None),
+        },
+        "shapes_measured": {f"{k[0]}x{k[1]}": {kk: (round(vv, 3)
+                            if isinstance(vv, float) else vv)
+                            for kk, vv in v.items()}
+                            for k, v in results.items()},
     }
 
     if vo_shape is not None:

@@ -22,6 +22,9 @@ Protocol implemented here (each point defeats one quirk above):
 
 from __future__ import annotations
 
+import argparse
+import json
+import os
 import time
 from functools import partial
 from typing import Callable
@@ -97,3 +100,64 @@ def chained_ms(
         t_hi = time.perf_counter() - t0
         slopes.append((t_hi - t_lo) / (n_hi - n_lo))
     return float(np.median(slopes) * 1e3)
+
+
+# ---------------------------------------------------------------------------
+# Shared harness for the tools/ A/B scripts and profilers (round-4
+# consolidation): every on-chip experiment needs the same compile-cache
+# setup, the same CLI knobs, and the same "run interleaved rows, print a
+# JSON line per row, then the summary" loop.  Keeping it here means each
+# tools/ab_*.py is only its experiment-specific chain definitions.
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Point JAX's persistent compile cache at the repo-local directory."""
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_compile_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
+
+def ab_args(default_shape=(1080, 1920), n_hi: int = 17, reps: int = 3,
+            extra: Callable[[argparse.ArgumentParser], None] | None = None):
+    """Standard A/B CLI (--shape --n-hi --reps [--stages]) + cache setup."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=2, default=list(default_shape))
+    ap.add_argument("--n-hi", type=int, default=n_hi)
+    ap.add_argument("--reps", type=int, default=reps)
+    ap.add_argument("--stages", type=str, default="",
+                    help="comma-separated row subset")
+    if extra is not None:
+        extra(ap)
+    args = ap.parse_args()
+    enable_compile_cache()
+    return args
+
+
+def run_ab_rows(rows, x0, args) -> dict:
+    """Time each (name, step_fn) row interleaved in THIS process.
+
+    Interleaving in one process is the only methodology that survives the
+    platform's ~±0.5 ms cross-run noise floor (BASELINE.md round-2 notes).
+    Prints one JSON line per row as it lands plus a final summary dict.
+    """
+    want = set(args.stages.split(",")) if getattr(args, "stages", "") else None
+    out = {}
+    for name, fn in rows:
+        if want and name not in want:
+            continue
+        t0 = time.perf_counter()
+        ms = chained_ms(fn, x0, n_hi=args.n_hi, reps=args.reps)
+        out[name] = round(ms, 3)
+        print(json.dumps({name: out[name],
+                          "wall_s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+    print(json.dumps(out), flush=True)
+    return out

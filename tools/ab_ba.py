@@ -7,35 +7,23 @@ Rows (all at VO shapes, one process):
   lm_dense   — full lm_iteration dense (the production configuration)
 Deltas between rows attribute the cost (G build vs solve vs LM plumbing).
 """
-import argparse
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from sift_pyocl_tpu.utils.benchtool import ab_args, run_ab_rows
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
-    ap.add_argument("--n-hi", type=int, default=17)
-    ap.add_argument("--reps", type=int, default=3)
-    args = ap.parse_args()
+    args = ab_args()
+    import jax.numpy as jnp
 
     from sift_pyocl_tpu import SiftConfig
     from sift_pyocl_tpu.models.vo import VOConfig, vo_init
     from sift_pyocl_tpu.sfm.ba import (BAObs, BAParams, build_system,
                                        lm_iteration, solve_step,
                                        solve_step_dense)
-    from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
     cfg = SiftConfig()
@@ -88,16 +76,10 @@ def main():
             pt_onehot=True, dense_schur=True)
         return [cost, lam2, p2.ts.sum()]
 
-    out = {}
-    rows = [("build", f_build), ("dense", f_dense), ("cg", f_cg),
-            ("lm_dense", f_lm),
-            ("build_b", f_build), ("dense_b", f_dense), ("cg_b", f_cg),
-            ("lm_dense_b", f_lm)]
-    for name, fn in rows:
-        ms = chained_ms(fn, img, n_hi=args.n_hi, reps=args.reps)
-        out[name] = round(ms, 3)
-        print(json.dumps({name: out[name]}), flush=True)
-    print(json.dumps(out))
+    run_ab_rows([("build", f_build), ("dense", f_dense), ("cg", f_cg),
+                 ("lm_dense", f_lm),
+                 ("build_b", f_build), ("dense_b", f_dense), ("cg_b", f_cg),
+                 ("lm_dense_b", f_lm)], img, args)
 
 
 if __name__ == "__main__":

@@ -6,33 +6,23 @@ for the whole batch amortizes launch overheads and serial-grid gaps.
 refs — "Pallas TPU lowering ... memory space ANY only ... trivial
 index_map".)  Reports ms/frame per variant.
 """
-import argparse
 import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from sift_pyocl_tpu.utils.benchtool import ab_args, chained_ms
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
-    ap.add_argument("--n-hi", type=int, default=9)
-    ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
-    args = ap.parse_args()
+    args = ab_args(n_hi=9, reps=2, extra=lambda ap: ap.add_argument(
+        "--batches", type=int, nargs="+", default=[1, 2, 4]))
+    import jax.numpy as jnp
+    import numpy as np
 
     from sift_pyocl_tpu import SiftConfig
     from sift_pyocl_tpu.models.sift import detect_and_describe_batched
-    from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
     cfg = SiftConfig()

@@ -8,41 +8,30 @@ cross-run noise floor.
 
 Run on the real chip:  python tools/ab_compact.py [--shape 1080 1920]
 """
-import argparse
 import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from sift_pyocl_tpu.utils.benchtool import ab_args, run_ab_rows
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
-    ap.add_argument("--n-hi", type=int, default=17)
-    ap.add_argument("--reps", type=int, default=3)
-    args = ap.parse_args()
+    args = ab_args()
+    import jax.numpy as jnp
+    import numpy as np
 
     from sift_pyocl_tpu import SiftConfig
     from sift_pyocl_tpu.models.sift import octave_capacities
     from sift_pyocl_tpu.ops.detect import extrema_mask
     from sift_pyocl_tpu.ops.pallas.compact import compact_masks_multi
     from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
-    from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
     cfg = SiftConfig()
     shape = tuple(args.shape)
-    caps = octave_capacities(shape, cfg)
-    cl = [c for c, _ in caps]
+    cl = [c for c, _ in octave_capacities(shape, cfg)]
     img = jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
 
     octs = build_scale_space_jax(img, cfg)
@@ -75,18 +64,12 @@ def main():
         return step
 
     x0 = jnp.zeros((8, 128), jnp.float32)
-    rows = [
+    run_ab_rows([
         ("sum", variant(extract_mode="sum")),
         ("rowmm", variant(extract_mode="rowmm")),
         ("rowmm_rows256", variant(extract_mode="rowmm", tile_rows=256)),
         ("sum_rows256", variant(extract_mode="sum", tile_rows=256)),
-    ]
-    out = {}
-    for name, fn in rows:
-        ms = chained_ms(fn, x0, n_hi=args.n_hi, reps=args.reps)
-        out[name] = round(ms, 3)
-        print(json.dumps({name: out[name]}), flush=True)
-    print(json.dumps(out))
+    ], x0, args)
 
 
 if __name__ == "__main__":

@@ -6,40 +6,28 @@ DoG stacks from HBM), timed on the full SIFT frontend AND on the
 pyramid->mask->compact sub-chain, in ONE process (the only methodology that
 survives the platform's ±0.5 ms cross-run noise).
 """
-import argparse
 import dataclasses
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from sift_pyocl_tpu.utils.benchtool import ab_args, run_ab_rows
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
-    ap.add_argument("--n-hi", type=int, default=13)
-    ap.add_argument("--reps", type=int, default=3)
-    args = ap.parse_args()
+    args = ab_args(n_hi=13)
+    import jax.numpy as jnp
 
     from sift_pyocl_tpu import SiftConfig
     from sift_pyocl_tpu.models.sift import detect_and_describe, octave_capacities
     from sift_pyocl_tpu.ops.detect import extrema_mask
     from sift_pyocl_tpu.ops.pallas.compact import compact_masks_multi
     from sift_pyocl_tpu.ops.pyramid import build_scale_space_and_masks_jax
-    from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
     shape = tuple(args.shape)
-    caps = octave_capacities(shape, SiftConfig())
-    cl = [c for c, _ in caps]
+    cl = [c for c, _ in octave_capacities(shape, SiftConfig())]
     img = jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
 
     def subchain(backend):
@@ -63,8 +51,7 @@ def main():
                     b.desc.astype(jnp.float32).sum(), b.valid.sum()]
         return step
 
-    out = {}
-    rows = [
+    run_ab_rows([
         ("sub_fused", subchain("fused")),
         ("sub_xla", subchain("xla")),
         ("front_fused", frontend("fused")),
@@ -73,12 +60,7 @@ def main():
         ("sub_xla_b", subchain("xla")),
         ("front_fused_b", frontend("fused")),
         ("front_xla_b", frontend("xla")),
-    ]
-    for name, fn in rows:
-        ms = chained_ms(fn, img, n_hi=args.n_hi, reps=args.reps)
-        out[name] = round(ms, 3)
-        print(json.dumps({name: out[name]}), flush=True)
-    print(json.dumps(out))
+    ], img, args)
 
 
 if __name__ == "__main__":

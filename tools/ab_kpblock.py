@@ -4,37 +4,26 @@ KP_BLOCK is a module constant; each variant mutates it before tracing a
 fresh jit of the frontend stage (trace-time constant, so each variant gets
 its own executable).  Run on the chip: python tools/ab_kpblock.py
 """
-import argparse
+import dataclasses
 import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from sift_pyocl_tpu.utils.benchtool import ab_args, chained_ms
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
-    ap.add_argument("--n-hi", type=int, default=17)
-    ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--blocks", type=int, nargs="+", default=[16, 32, 8])
-    args = ap.parse_args()
+    args = ab_args(extra=lambda ap: ap.add_argument(
+        "--blocks", type=int, nargs="+", default=[16, 32, 8]))
+    import jax
+    import jax.numpy as jnp
 
     from sift_pyocl_tpu import SiftConfig
     from sift_pyocl_tpu.models.sift import detect_and_describe
     from sift_pyocl_tpu.ops.pallas import window as W
-    from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
-
-    import dataclasses
 
     cfg = SiftConfig()
     img = jnp.asarray(synthetic_scene(tuple(args.shape), n_blobs=200, seed=0))
@@ -47,8 +36,7 @@ def main():
         return step
 
     variants = [(f"kp_block_{kb}", kb, cfg) for kb in args.blocks]
-    variants.append(("kb16_maxori1", 16,
-                     dataclasses.replace(cfg, max_ori=1)))
+    variants.append(("kb16_maxori1", 16, dataclasses.replace(cfg, max_ori=1)))
     out = {}
     for name, kb, cfg_ in variants:
         W.KP_BLOCK = kb

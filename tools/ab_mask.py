@@ -3,40 +3,28 @@
 "stencil" (26 fused shifted compares) vs "pools" (shared separable 3-pools),
 timed on the pyramid->mask->compact chain in ONE process.
 """
-import argparse
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from sift_pyocl_tpu.utils.benchtool import ab_args, run_ab_rows
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
-    ap.add_argument("--n-hi", type=int, default=17)
-    ap.add_argument("--reps", type=int, default=3)
-    args = ap.parse_args()
+    args = ab_args()
+    import jax.numpy as jnp
 
     from sift_pyocl_tpu import SiftConfig
     from sift_pyocl_tpu.models.sift import octave_capacities
     from sift_pyocl_tpu.ops.detect import extrema_mask
     from sift_pyocl_tpu.ops.pallas.compact import compact_masks_multi
     from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
-    from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
     cfg = SiftConfig()
     shape = tuple(args.shape)
-    caps = octave_capacities(shape, cfg)
-    cl = [c for c, _ in caps]
+    cl = [c for c, _ in octave_capacities(shape, cfg)]
     img = jnp.asarray(synthetic_scene(shape, n_blobs=200, seed=0))
 
     def chain(variant):
@@ -48,14 +36,9 @@ def main():
             return [idx.astype(jnp.float32).sum(), w.sum(), tot.sum()]
         return step
 
-    out = {}
-    for name, fn in [("stencil", chain("stencil")), ("pools", chain("pools")),
-                     ("stencil_b", chain("stencil")),
-                     ("pools_b", chain("pools"))]:
-        ms = chained_ms(fn, img, n_hi=args.n_hi, reps=args.reps)
-        out[name] = round(ms, 3)
-        print(json.dumps({name: out[name]}), flush=True)
-    print(json.dumps(out))
+    run_ab_rows([("stencil", chain("stencil")), ("pools", chain("pools")),
+                 ("stencil_b", chain("stencil")), ("pools_b", chain("pools"))],
+                img, args)
 
 
 if __name__ == "__main__":

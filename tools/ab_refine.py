@@ -9,16 +9,16 @@ sampling for scratch-row sampling was neutral; cross-step double-buffered
 window DMAs were neutral — the kernel is bound by per-candidate serial
 overhead, not VPU throughput or DMA latency).
 """
-
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
+from sift_pyocl_tpu.utils.benchtool import ab_args, chained_ms
 
 
 def main():
+    args = ab_args(n_hi=9, reps=1)
     import jax.numpy as jnp
 
     from sift_pyocl_tpu import SiftConfig
@@ -27,11 +27,10 @@ def main():
     from sift_pyocl_tpu.ops.pallas import refine as rf
     from sift_pyocl_tpu.models.sift import octave_capacities
     from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
-    from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
     cfg = SiftConfig()
-    shape = (1080, 1920)
+    shape = tuple(args.shape)
     img = jnp.asarray(synthetic_scene(shape, seed=0), jnp.float32)
     caps = [c for c, _ in octave_capacities(shape, cfg)]
 
@@ -64,7 +63,8 @@ def main():
     # not vector throughput or DMA
     for rep in range(2):
         for mm in (5, 1, 0):
-            ms = chained_ms(make_step(mm), atlas, n_hi=9, reps=1)
+            ms = chained_ms(make_step(mm), atlas, n_hi=args.n_hi,
+                            reps=args.reps)
             print(f"rep{rep} max_moves={mm}: {ms:.3f} ms", flush=True)
 
 

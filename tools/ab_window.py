@@ -4,28 +4,17 @@ Times the production frontend (detect_and_describe) with the fused kernel's
 reduce_mode forced to "scalar" vs "colsum", plus isolated fused-stage rows,
 all in one process.  Run on the chip: python tools/ab_window.py
 """
-import argparse
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from sift_pyocl_tpu.utils.benchtool import ab_args, run_ab_rows
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
-    ap.add_argument("--n-hi", type=int, default=17)
-    ap.add_argument("--reps", type=int, default=3)
-    args = ap.parse_args()
+    args = ab_args()
+    import jax.numpy as jnp
 
     from sift_pyocl_tpu import SiftConfig
     from sift_pyocl_tpu.models.sift import octave_capacities
@@ -34,7 +23,6 @@ def main():
     from sift_pyocl_tpu.ops.pallas.gradpad import grad_atlas_pallas
     from sift_pyocl_tpu.ops.pallas.window import orient_desc_fused_pallas
     from sift_pyocl_tpu.ops.pyramid import build_scale_space_jax
-    from sift_pyocl_tpu.utils.benchtool import chained_ms
     from sift_pyocl_tpu.utils.testimage import synthetic_scene
 
     cfg = SiftConfig()
@@ -67,16 +55,8 @@ def main():
             return [ang.sum(), ok.sum(), raw.sum(), fr_cat.sum()]
         return step
 
-    rows = [
-        ("scalar", fused("scalar")),
-        ("colsum", fused("colsum")),
-    ]
-    out = {}
-    for name, fn in rows:
-        ms = chained_ms(fn, img, n_hi=args.n_hi, reps=args.reps)
-        out[name] = round(ms, 3)
-        print(json.dumps({name: out[name]}), flush=True)
-    print(json.dumps(out))
+    run_ab_rows([("scalar", fused("scalar")), ("colsum", fused("colsum"))],
+                img, args)
 
 
 if __name__ == "__main__":

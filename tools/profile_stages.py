@@ -1,21 +1,28 @@
 #!/usr/bin/env python
-"""Per-stage on-chip profiler for the VO pipeline (round-3 tuning aid).
+"""Per-stage on-chip profiler for the VO pipeline (the ONE stage profiler —
+tools/prof_stages.py was merged in here, round-4 consolidation).
 
 Measures, with the chained-slope protocol (utils/benchtool.py):
   pyramid          build_scale_space_jax
   grad_pad         pyramid + gradient_planes + pad_grad_planes (all octaves)
   detect           pyramid + detect_all_octaves_pallas
+  refine           pyramid + mask + compact + decode + refine_atlas_pallas
   sift             full detect_and_describe
+  front_match      sift + descriptor matching vs the VO map
+  front_pnp        front_match + top-k select + pnp_refine
   vo               full fused vo_step
   match            descriptor matching at VO shapes (N kp slots vs W*PN map)
   pnp              pnp_refine at VO shapes
-  ba               one lm_iteration at VO shapes
+  ba               one lm_iteration at VO shapes (synthetic obs)
+  ba_iso           one lm_iteration on the REAL vo_init state
+  match2_iso       prev-frame self-match at VO shapes
 
 Stage deltas: grad_pad-pyramid = gradient cost, detect-pyramid = detect,
-sift-detect ~ orient+desc (approx: sift also includes grad), vo-sift = VO tail.
+sift-detect ~ orient+desc (approx: sift also includes grad), vo-sift = VO
+tail; front_match-sift = match, front_pnp-front_match = select+PnP.
+Select subsets with --stages name1,name2.
 """
 
-import argparse
 import json
 import os
 import sys
@@ -25,14 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from sift_pyocl_tpu.utils.benchtool import ab_args
+
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--shape", type=int, nargs=2, default=[1080, 1920])
-    ap.add_argument("--n-hi", type=int, default=9)
-    ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--stages", type=str, default="")
-    args = ap.parse_args()
+    args = ab_args(n_hi=9, reps=2)
 
     import jax
     import jax.numpy as jnp
@@ -176,6 +180,26 @@ def main():
             interpret=cfg.pallas_interpret)
         return {"s": acc + [m.sum() for m in masks]}
 
+    def st_refine(c):
+        # cumulative through subpixel refine on the production kernels
+        from sift_pyocl_tpu.ops.detect import decode_compacted, extrema_mask
+        from sift_pyocl_tpu.ops.pallas.compact import compact_masks_multi
+        from sift_pyocl_tpu.ops.pallas.refine import (build_dog_atlas,
+                                                      refine_atlas_pallas)
+        octs = build_scale_space_jax(c, cfg)
+        acc = [b.sum() for b, _ in octs]
+        dogs_l = [d for _, d in octs]
+        atlas, row_starts = build_dog_atlas(dogs_l)
+        masks = [extrema_mask(d, cfg, o) for o, d in enumerate(dogs_l)]
+        cl = [cp for cp, _ in caps]
+        idx_all, written, total = compact_masks_multi(masks, cl)
+        s, r, cc2, v, rlo, rhi, clo, chi = decode_compacted(
+            dogs_l, masks, cl, row_starts, idx_all, written, cfg.border_dist)
+        fs, fr_a, fc, peak, accm = refine_atlas_pallas(
+            atlas, s, r, cc2, v, rlo, rhi, clo, chi,
+            peak_thresh=cfg.peak_thresh, max_moves=cfg.max_interp_moves)
+        return {"s": acc + [fs.sum(), fr_a.sum(), accm.sum()]}
+
     def st_sift(c):
         b = detect_and_describe(c, cfg)
         return {"s": [b.x.sum(), b.angle.sum(),
@@ -201,6 +225,58 @@ def main():
         st2, out = vo_step(st0, c, K, cfg, vo)
         return {"s": [st2.ts.sum(), out.ba_cost, out.rms_px,
                       st2.X.sum(), st2.obs_w.sum()]}
+
+    # --- frontend+tail cumulative rows on the REAL vo_init state ---------
+    def st_front_match(c):
+        b = detect_and_describe(c, cfg)
+        keep, mid, d1, d2 = match_descriptors_dense(
+            b.desc, b.valid, st0.Xdesc.reshape(P, 128),
+            st0.Xvalid.reshape(P) > 0, metric=vo.match_metric,
+            ratio_sq=vo.ratio_sq)
+        return {"s": [keep.sum(), d1.sum(), b.x.sum(),
+                      b.desc.astype(jnp.float32).sum()]}
+
+    def st_front_pnp(c):
+        b = detect_and_describe(c, cfg)
+        keep, mid, d1, d2 = match_descriptors_dense(
+            b.desc, b.valid, st0.Xdesc.reshape(P, 128),
+            st0.Xvalid.reshape(P) > 0, metric=vo.match_metric,
+            ratio_sq=vo.ratio_sq)
+        score = jnp.where(keep, -d1, -jnp.inf)
+        _, sel = jax.lax.approx_max_k(score, vo.pnp_n)
+        w_sel = keep[sel].astype(jnp.float32)
+        uv_sel = jnp.stack([b.x, b.y], -1)[sel]
+        X_sel = st0.X.reshape(P, 3)[mid[sel]]
+        R, t, rms = pnp_refine(K, st0.Rs[-1], st0.ts[-1], X_sel, uv_sel,
+                               w_sel, iters=vo.pnp_iters,
+                               huber_px=vo.huber_px)
+        return {"s": [t.sum(), rms, keep.sum(), b.x.sum()]}
+
+    def st_ba_iso(c):
+        # one lm_iteration on the real vo_init state (production config)
+        s = jnp.tanh(c[0, 0] * 1e-9) * 1e-5
+        params = BAParams(st0.Rs, st0.ts + s, st0.X.reshape(P, 3))
+        cam_ids = jnp.repeat(
+            jnp.arange(W, dtype=jnp.int32)[:, None], OBS_F,
+            axis=1).reshape(-1)
+        obs = BAObs(uv=st0.obs_uv.reshape(-1, 2), cam=cam_ids,
+                    pt=jnp.maximum(st0.obs_pt.reshape(-1), 0),
+                    w=st0.obs_w.reshape(-1))
+        fr = jnp.arange(W) > 0
+        p2, lam2, cost, _ = lm_iteration(
+            params, obs, K, st0.lam, fr, huber_px=vo.huber_px,
+            cg_iters=vo.cg_iters, n_points=P, cam_blocked=True,
+            pt_onehot=True, dense_schur=True)
+        return {"s": [cost, lam2, p2.ts.sum()]}
+
+    def st_match2_iso(c):
+        s = jnp.tanh(c[0, 0] * 1e-9)
+        d1 = st0.prev_desc[: vo.pts_per_frame]
+        v1 = st0.prev_valid[: vo.pts_per_frame] & (s > -2)
+        pk, pidx, pd, pd2 = match_descriptors_dense(
+            d1, v1, st0.prev_desc, st0.prev_valid,
+            metric=vo.match_metric, ratio_sq=vo.ratio_sq)
+        return {"s": [pk.sum(), pd.sum()]}
 
     # --- VO tail pieces at real shapes ---
     rng = np.random.default_rng(0)
@@ -277,11 +353,14 @@ def main():
         "smalloct": st_smalloct, "grad_pad": st_grad_pad,
         "grad_atlas_xla": st_grad_atlas_xla, "grad_atlas": st_grad_atlas,
         "detect": st_detect, "mask": st_mask, "compact": st_compact,
-        "compact256": st_compact256,
+        "compact256": st_compact256, "refine": st_refine,
         "dogatlas": st_dogatlas, "maskp": st_maskp,
         "sift": st_sift, "sift_gradxla": st_sift_gradxla,
         "sift_buckets": st_sift_buckets,
-        "vo": st_vo, "match": st_match, "pnp": st_pnp, "ba": st_ba,
+        "vo": st_vo, "front_match": st_front_match,
+        "front_pnp": st_front_pnp, "ba_iso": st_ba_iso,
+        "match2_iso": st_match2_iso,
+        "match": st_match, "pnp": st_pnp, "ba": st_ba,
         "ba_opt": st_ba_opt, "ba_blk": st_ba_blk, "ba_dense": st_ba_dense,
     }
     want = args.stages.split(",") if args.stages else list(stages)
