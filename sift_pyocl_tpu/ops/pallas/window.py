@@ -278,8 +278,9 @@ def _desc_kernel(s_ref, rs_ref, cs_ref, valid_ref, fr_ref, fc_ref, sig_ref,
             spacing = np.float32(MAG_FACTOR) * sig
             cos_t = jnp.cos(angle)
             sin_t = jnp.sin(angle)
-            rrot = (cos_t * dr + sin_t * dc) / spacing
-            crot = (-sin_t * dr + cos_t * dc) / spacing
+            # u = R(+angle) @ d, matching oracle.descriptor (r4 rotation fix)
+            rrot = (cos_t * dr - sin_t * dc) / spacing
+            crot = (sin_t * dr + cos_t * dc) / spacing
             rbin = rrot + np.float32(DESC_GRID / 2.0 - 0.5)
             cbin = crot + np.float32(DESC_GRID / 2.0 - 0.5)
             inside = (
@@ -537,8 +538,9 @@ def _kp_descriptor(mw, ow, fro, fco, sig, angle, drow, *, win, max_ori,
     spacing_base = np.float32(MAG_FACTOR) * sig
     cos_t = jnp.cos(angle)
     sin_t = jnp.sin(angle)
-    rrot = (cos_t * rr + sin_t * cc) / spacing_base
-    crot = (-sin_t * rr + cos_t * cc) / spacing_base
+    # u = R(+angle) @ d, matching oracle.descriptor (r4 rotation fix)
+    rrot = (cos_t * rr - sin_t * cc) / spacing_base
+    crot = (sin_t * rr + cos_t * cc) / spacing_base
     rbin = rrot + np.float32(DESC_GRID / 2.0 - 0.5)
     cbin = crot + np.float32(DESC_GRID / 2.0 - 0.5)
     inside = (

@@ -392,9 +392,16 @@ def descriptor(
     for rr in range(max(r0 - radius, 0), min(r0 + radius + 1, H)):
         for cc in range(max(c0 - radius, 0), min(c0 + radius + 1, W)):
             dr, dc = rr - r, cc - c
-            # rotate into keypoint frame, in units of descriptor spacing
-            rrot = (cos_t * dr + sin_t * dc) / spacing
-            crot = (-sin_t * dr + cos_t * dc) / spacing
+            # rotate into keypoint frame, in units of descriptor spacing.
+            # Angle convention: gradient ori = atan2(d_row, d_col), so a +t
+            # image rotation in (row, col) shifts every angle by -t; the
+            # canonical frame is u = R(+angle) @ d (then u' = R(a-t)R(t)d =
+            # u, invariant).  The round-1..3 code used R(-angle), which
+            # DOUBLES the rotation instead of cancelling it — caught by the
+            # round-4 invariance battery (tests/test_invariance.py: zero
+            # ratio-test matches under rotation while repeatability was 0.9).
+            rrot = (cos_t * dr - sin_t * dc) / spacing
+            crot = (sin_t * dr + cos_t * dc) / spacing
             rbin = rrot + DESC_GRID / 2.0 - 0.5
             cbin = crot + DESC_GRID / 2.0 - 0.5
             if rbin <= -1.0 or rbin >= DESC_GRID or cbin <= -1.0 or cbin >= DESC_GRID:
