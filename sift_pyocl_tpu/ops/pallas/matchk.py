@@ -51,7 +51,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(v1s_ref, a_ref, bt_ref, nb_ref, d1_ref, d2_ref, i1_ref):
+def _kernel(v1s_ref, a_ref, bt_ref, nb_ref, d1_ref, d2_ref, i1_ref,
+            *, two_pass: bool):
     i = pl.program_id(0)
     bt = bt_ref[:].astype(jnp.float32)             # (128, N2), resident
     big = jnp.int32(2**30)
@@ -77,8 +78,22 @@ def _kernel(v1s_ref, a_ref, bt_ref, nb_ref, d1_ref, d2_ref, i1_ref):
             dist = jnp.maximum(na + nb_ref[:] - 2.0 * ab, 0.0)  # (SUB, N2)
             d1 = jnp.min(dist, axis=1)                 # (SUB,)
             col = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-            i1 = jnp.min(jnp.where(dist == d1[:, None], col, big), axis=1)
-            d2 = jnp.min(jnp.where(col == i1[:, None], jnp.inf, dist), axis=1)
+            if two_pass:
+                # fused second pass (r4 A/B): one sweep computes the tie
+                # count, the argmin column and the min-excluding-ties; then
+                #   d2 = d1 if the min occurs >=2 times (the excluded column
+                #        is one of them, another tie remains), else the
+                #        min over dist != d1.
+                # Bit-identical to the 3-pass form by that case analysis.
+                eq = dist == d1[:, None]
+                i1 = jnp.min(jnp.where(eq, col, big), axis=1)
+                cnt = jnp.sum(eq.astype(jnp.float32), axis=1)
+                m2 = jnp.min(jnp.where(eq, jnp.inf, dist), axis=1)
+                d2 = jnp.where(cnt >= 2.0, d1, m2)
+            else:
+                i1 = jnp.min(jnp.where(dist == d1[:, None], col, big), axis=1)
+                d2 = jnp.min(jnp.where(col == i1[:, None], jnp.inf, dist),
+                             axis=1)
             return (
                 jnp.where(rows8 == sub, d1[None, :], d1o),
                 jnp.where(rows8 == sub, d2[None, :], d2o),
@@ -94,10 +109,10 @@ def _kernel(v1s_ref, a_ref, bt_ref, nb_ref, d1_ref, d2_ref, i1_ref):
     i1_ref[:] = i1o
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "two_pass"))
 def best2_l2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
                     valid2: jnp.ndarray, valid1: jnp.ndarray = None,
-                    interpret: bool = False):
+                    interpret: bool = False, two_pass: bool = False):
     """(best, second-best, argbest) of squared-L2 distances per desc1 row.
 
     desc1 (N1,128) u8/f32, desc2 (N2,128) u8/f32, valid2 (N2,) bool.
@@ -147,7 +162,7 @@ def best2_l2_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
         ],
     )
     d1, d2, i1 = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, two_pass=two_pass),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n1p // SUB, SUB), jnp.float32),

@@ -103,12 +103,15 @@ def test_pallas_best2_matches_xla(desc_pair):
     d2s[7] = d2s[3]
     a, b = jnp.asarray(d1s), jnp.asarray(d2s)
     x1, x2, xi = _best2_l2(a, b, valid2)
-    p1, p2, pi = best2_l2_pallas(a, b, valid2, interpret=True)
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(x1), rtol=1e-6)
-    np.testing.assert_allclose(
-        np.where(np.isinf(p2), 1e30, np.asarray(p2)),
-        np.where(np.isinf(np.asarray(x2)), 1e30, np.asarray(x2)), rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    for two_pass in (False, True):  # r4: fused 2-pass reduction variant
+        p1, p2, pi = best2_l2_pallas(a, b, valid2, interpret=True,
+                                     two_pass=two_pass)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(x1), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.where(np.isinf(p2), 1e30, np.asarray(p2)),
+            np.where(np.isinf(np.asarray(x2)), 1e30, np.asarray(x2)),
+            rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
 
 
 def test_pallas_best2_degenerate():
