@@ -71,6 +71,7 @@ class IncrementalSfM:
         loop_closure: bool = True,
         loop_min_inliers: int = 15,
         map_match_window: Optional[int] = None,
+        reloc_fallback: bool = True,
     ):
         self.K = np.asarray(K, np.float32)
         self.cfg = cfg or SiftConfig()
@@ -93,6 +94,8 @@ class IncrementalSfM:
         # last W cameras (local-map tracking as real-time systems do); global
         # anchoring then comes from loop closure alone
         self.map_match_window = map_match_window
+        # full-map retry when the windowed match starves (revisits)
+        self.reloc_fallback = reloc_fallback
         self.n_loop_edges = 0
 
     def _next_key(self):
@@ -191,6 +194,22 @@ class IncrementalSfM:
                 mm = self._match(map_desc[sel], kps[f]["desc"])
                 if len(mm):
                     mm = np.stack([sel[mm[:, 0]], mm[:, 1]], 1)
+                # relocalization fallback (r4): when windowed matching
+                # starves — typically a revisit whose overlap is with OLD
+                # map points outside the window (out-and-back sequences) —
+                # retry against the full map rather than dropping the frame.
+                # One starved frame otherwise cascades: the next frame's
+                # window shifts onto the same stale points and the rest of
+                # the sequence never registers (measured: a single marginal
+                # triangulation flip cost 3 of 12 registrations).
+                if len(mm) < 12 and self.reloc_fallback:
+                    mm_full = self._match(map_desc, kps[f]["desc"])
+                    if len(mm_full) > len(mm):
+                        _say(verbose,
+                             "frame %d: windowed match starved (%d), "
+                             "relocalizing vs full map (%d)",
+                             f, len(mm), len(mm_full))
+                        mm = mm_full
             else:
                 mm = self._match(map_desc, kps[f]["desc"])
             if len(mm) < 12:

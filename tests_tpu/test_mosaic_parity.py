@@ -104,6 +104,11 @@ def test_best2_mosaic_matches_xla():
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(si)[keep], np.asarray(xi)[keep])
     assert np.all(np.asarray(s1)[~keep] == 0.0)
+    # fused 2-pass reduction variant (r4 A/B candidate): same results
+    t1, t2, ti = best2_l2_pallas(a, b, v2, two_pass=True)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(x1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(x2), rtol=1e-5)
 
 
 def test_grad_atlas_mosaic_matches_xla(scene160):
