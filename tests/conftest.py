@@ -7,6 +7,22 @@ a pod — per the multi-host test strategy in SURVEY.md §4.
 """
 
 import os
+import resource
+
+# The default 8 MB stack is not enough for XLA's recursive compile passes on
+# the big fused graphs (vo_step at production capacities): the suite
+# intermittently SEGFAULTS mid-compile with ~128 GB of RAM free (observed
+# twice in round 4; the faulthandler dump ends inside a compile call).
+# Raise the soft limit to the hard limit (or 512 MB) before any compilation.
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _hard != resource.RLIM_INFINITY:
+        _want = min(_want, _hard)
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+except (ValueError, OSError):  # platform refuses: keep the default
+    pass
 
 # Force CPU even though the environment's sitecustomize imports jax with
 # JAX_PLATFORMS=axon at interpreter start (env edits are too late — only

@@ -5,11 +5,26 @@ PnP + windowed BA in one jit); no reference counterpart (SURVEY.md §2.3).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+import pytest
 
 from sift_pyocl_tpu import SiftConfig
 from sift_pyocl_tpu.models.vo import VOConfig, VOState, vo_init, vo_step
 from sift_pyocl_tpu.utils.testimage import synthetic_scene
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Full-suite segfault workaround (r4, observed 3x): XLA's native
+    backend_compile_and_load crashes compiling the big fused vo_step AFTER
+    ~55 other tests' executables have accumulated in-process (the same
+    compile succeeds standalone; 128 GB free, 64 MB stack — neither is the
+    trigger).  Dropping the accumulated executables/tracing caches before
+    this module's heavy compiles dodges the native-state poisoning at the
+    cost of some recompiles."""
+    jax.clear_caches()
+    yield
 
 
 def test_vo_tracks_translation():

@@ -12,9 +12,18 @@ with the same sim(3)-aligned RMSE the evaluate CLI reports.
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from sift_pyocl_tpu import SiftConfig
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """See tests/test_vo.py::_fresh_compile_state — dodge the accumulated-
+    executable native compile segfault before this module's big jit."""
+    jax.clear_caches()
+    yield
 from sift_pyocl_tpu.models.vo import VOConfig, vo_init, vo_step
 from sift_pyocl_tpu.sfm.evaluate import ate_rmse, camera_centers
 from sift_pyocl_tpu.utils.testimage import blob_cloud, render_point_cloud
