@@ -160,6 +160,14 @@ def main() -> int:
             pass
     except Exception as e:  # noqa: BLE001
         _log(f"compile cache unavailable: {e}")
+    # BENCH_r04 evidence: a POPULATED cache (1448 entries) served the whole
+    # 1080p run in 107 s; a near-empty one re-exposes ~700 s cold compiles
+    # (the r03 failure mode).  Warn loudly so a wiped .jax_compile_cache/ is
+    # a visible fact in the log, not a silent 10x wall-time regression.
+    if 0 <= cache_entries_before < 100:
+        _log(f"WARNING: compile cache nearly empty ({cache_entries_before} "
+             f"entries) — expect cold compiles of several hundred seconds "
+             f"per shape; the climb will bank small shapes first")
 
     import numpy as np
     import jax
@@ -335,7 +343,17 @@ def main() -> int:
                              and _BEST["headline"] is not None) \
             else (min(args.stage_timeout, budget)
                   if args.stage_timeout > 0 else budget)
-        tries = 1 if _BEST["headline"] is not None else args.tries
+        # ADVICE r4: with a headline already banked, the TARGET shape still
+        # deserves a second attempt while budget allows — a fast transient
+        # tunnel error seconds into the run would otherwise forfeit the
+        # 1080p number with most of the budget unspent.  (Deterministic
+        # compiler rejections never retry regardless — _FATAL_MARKERS.)
+        if _BEST["headline"] is None:
+            tries = args.tries
+        elif shape == target and budget >= 2 * MIN_STAGE:
+            tries = 2
+        else:
+            tries = 1
         _log(f"vo@{shape}: budget {budget:.0f}s, stage_timeout "
              f"{stage_t:.0f}s, tries {tries}")
         val, err = retry(lambda: measure_vo(shape), tries=tries,

@@ -171,10 +171,18 @@ def vo_init(frame0: jnp.ndarray, K: jnp.ndarray, cfg: SiftConfig,
         X=jnp.zeros((W, PN, 3), jnp.float32).at[W - 1].set(X0),
         Xvalid=jnp.zeros((W, PN), jnp.float32).at[W - 1].set(ok),
         Xdesc=jnp.zeros((W, PN, 128), jnp.uint8).at[W - 1].set(buf.desc[sel]),
-        obs_uv=jnp.zeros((W, OBS_F, 2), jnp.float32).at[W - 1, :PN].set(uv),
+        # seed self-observations live in the TAIL block [OBS_F-PN:] — the
+        # same slots vo_step 4c writes spawn self-obs into and 4d's deferred
+        # depth refresh reads spawn pixels back from (ADVICE r4: writing them
+        # at the head left the refresh reading zeros for the seed block,
+        # "refreshing" seeds against a (0,0) corner ray during bootstrap)
+        obs_uv=jnp.zeros((W, OBS_F, 2), jnp.float32)
+        .at[W - 1, OBS_F - PN:].set(uv),
         obs_pt=jnp.full((W, OBS_F), -1, jnp.int32)
-        .at[W - 1, :PN].set((W - 1) * PN + jnp.arange(PN, dtype=jnp.int32)),
-        obs_w=jnp.zeros((W, OBS_F), jnp.float32).at[W - 1, :PN].set(ok),
+        .at[W - 1, OBS_F - PN:]
+        .set((W - 1) * PN + jnp.arange(PN, dtype=jnp.int32)),
+        obs_w=jnp.zeros((W, OBS_F), jnp.float32)
+        .at[W - 1, OBS_F - PN:].set(ok),
         prev_desc=buf.desc,
         prev_uv=_kp_xy(buf),
         prev_valid=buf.valid,
@@ -296,7 +304,22 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     #     so no observation is double-counted.
     #   * NEW: keypoints unmatched under keep_pnp (loose-gate matches on a
     #     re-localization frame are map RE-observations, not new landmarks).
-    carried = keep_pnp & (map_id < PN)
+    carried_raw = keep_pnp & (map_id < PN)
+    # dedup carries per dying map id (ADVICE r4): matching is per-query, so
+    # several keypoints can claim the same dying point and each would carry
+    # it (+1e4 boost), duplicating the landmark and displacing fresh spawns.
+    # Keep only the best-distance claimant: argmin over the masked (N, PN)
+    # distance matrix picks one winner per dying id, scatter-free.
+    colmat = jnp.where(
+        carried_raw[:, None]
+        & (map_id[:, None] == jnp.arange(PN, dtype=jnp.int32)[None, :]),
+        dist[:, None], jnp.inf,
+    )
+    winner = jnp.argmin(colmat, axis=0).astype(jnp.int32)     # (PN,)
+    carried = carried_raw & (
+        winner[jnp.minimum(map_id, PN - 1)]
+        == jnp.arange(map_id.shape[0], dtype=jnp.int32)
+    )
     spawn_ok = (buf.valid & ~keep_pnp) | carried
     new_score = jnp.where(
         spawn_ok, buf.scale + jnp.where(carried, 1e4, 0.0), -jnp.inf
@@ -394,9 +417,11 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
     if vo.depth_refresh:
         w_src = opt // PN
         j_loc = opt % PN
-        sp_uv = obs_uv.reshape(W * OBS_F, 2)[
-            w_src * OBS_F + (OBS_F - PN) + j_loc
-        ]
+        sp_idx = w_src * OBS_F + (OBS_F - PN) + j_loc
+        sp_uv = obs_uv.reshape(W * OBS_F, 2)[sp_idx]
+        # a zero spawn-slot weight means no spawn pixel was ever recorded
+        # for this row (e.g. an untracked-frame hold); never refresh those
+        sp_w = obs_w.reshape(W * OBS_F)[sp_idx]
         R_src = Rs[w_src]                          # (OBS_F,3,3)
         t_src = ts[w_src]
         c_src = -jnp.einsum("nji,nj->ni", R_src, t_src)
@@ -443,7 +468,7 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
         # selection bias only matters in the marginal band.
         gate = (exp_sin2 > min_sin2) | (denom > 4.0 * min_sin2)
         upd = (
-            (ow > 0)
+            (ow > 0) & (sp_w > 0)
             & gate & (jnp.maximum(exp_sin2, denom) > 2.25 * last_par)
             & (denom > 0.25 * min_sin2)            # degenerate-ray guard
             & (s_len > 0) & (t_len > 0)
@@ -456,7 +481,11 @@ def vo_step(state: VOState, frame: jnp.ndarray, K: jnp.ndarray,
         Xflat = jnp.where(den[:, None] > 0,
                           num / jnp.maximum(den, 1.0)[:, None], Xflat)
         X = Xflat.reshape(W, PN, 3)
-        par_num = U.T @ exp_sin2                   # (P,)
+        # store the parallax actually ACHIEVED at refresh (ADVICE r4): when
+        # the measured-angle escape branch fires, exp_sin2 can sit far below
+        # the achieved angle and the 2.25x growth gate would re-pass every
+        # frame — exactly the churn the design avoids
+        par_num = U.T @ jnp.maximum(exp_sin2, denom)   # (P,)
         tp = tri_par.reshape(P)
         tri_par = jnp.where(den > 0, par_num / jnp.maximum(den, 1.0),
                             tp).reshape(W, PN)

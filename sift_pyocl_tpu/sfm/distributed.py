@@ -159,20 +159,45 @@ class DistributedBA:
         free = jnp.ones((C,), jnp.float32).at[jnp.array(fixed_cams)].set(0.0)
         shard = NamedSharding(self.mesh, P(self.axis))
         rep = NamedSharding(self.mesh, P())
-        Rs = jax.device_put(jnp.asarray(params.Rs), rep)
-        ts = jax.device_put(jnp.asarray(params.ts), rep)
-        Xs = jax.device_put(jnp.asarray(sp.X), shard)
-        uv = jax.device_put(jnp.asarray(sp.uv), shard)
-        cam = jax.device_put(jnp.asarray(sp.cam), shard)
-        ptl = jax.device_put(jnp.asarray(sp.pt_local), shard)
-        w = jax.device_put(jnp.asarray(sp.w), shard)
-        Kd = jnp.asarray(K)
-        lam = jnp.float32(lam0)
+        # Multi-HOST path (SURVEY §2.3 comm backend): when the mesh spans
+        # processes, plain device_put cannot place non-addressable shards —
+        # every process builds the same global NumPy problem (deterministic
+        # partitioner above) and contributes its local shards via
+        # make_array_from_callback; fetches read the local replica.
+        multi = jax.process_count() > 1
+
+        def put(x, sh):
+            x = np.asarray(x)
+            if multi:
+                return jax.make_array_from_callback(
+                    x.shape, sh, lambda idx: x[idx])
+            return jax.device_put(jnp.asarray(x), sh)
+
+        def rep_np(a):
+            """Host value of a replicated global array."""
+            return np.asarray(a.addressable_data(0)) if multi \
+                else np.asarray(a)
+
+        Rs = put(params.Rs, rep)
+        ts = put(params.ts, rep)
+        Xs = put(sp.X, shard)
+        uv = put(sp.uv, shard)
+        cam = put(sp.cam, shard)
+        ptl = put(sp.pt_local, shard)
+        w = put(sp.w, shard)
+        Kd = put(np.asarray(K, np.float32), rep)
+        lam = put(np.float32(lam0), rep)
+        free = put(np.asarray(free), rep)
         costs = []
         for it in range(iters):
             Rs, ts, Xs, lam, cost, acc = step(Rs, ts, Xs, uv, cam, ptl, w, lam, free, Kd)
-            costs.append(float(cost))
+            costs.append(float(rep_np(cost)))
             if verbose:
-                print(f"  dist-LM it {it}: cost {float(cost):.4f} lam {float(lam):.2e}")
-        X = merge_points(sp, np.asarray(Xs), params.X.shape[0])
-        return BAParams(np.asarray(Rs), np.asarray(ts), X), costs
+                print(f"  dist-LM it {it}: cost {costs[-1]:.4f} "
+                      f"lam {float(rep_np(lam)):.2e}")
+        if multi:
+            # gather the sharded point blocks: reshard to replicated (one
+            # all-gather over the mesh), then read the local replica
+            Xs = jax.jit(lambda x: x, out_shardings=rep)(Xs)
+        X = merge_points(sp, rep_np(Xs), params.X.shape[0])
+        return BAParams(rep_np(Rs), rep_np(ts), X), costs

@@ -42,6 +42,24 @@ def main():
     total = jax.jit(lambda x: jnp.sum(x), out_shardings=None)(arr)
     expect = float(np.arange(n_dev).sum())
     assert float(total) == expect, (float(total), expect)
+
+    # optional second leg (VERDICT r4 #2): the REAL DistributedBA camera-
+    # system psum across the process boundary, not just a global sum
+    mode = sys.argv[4] if len(sys.argv) > 4 else "sum"
+    if mode == "ba":
+        from sift_pyocl_tpu.sfm.distributed import DistributedBA
+        from sift_pyocl_tpu.sfm.synthetic import make_problem, perturb
+
+        K, gt, obs, _ = make_problem(
+            n_cams=6, n_points=96, noise_px=0.3, seed=0)
+        noisy = perturb(gt, rot_deg=2.0, trans=0.05, point_sigma=0.05,
+                        seed=1)
+        dba = DistributedBA(mesh)
+        params, costs = dba.run(noisy, obs, K, iters=6)
+        assert np.isfinite(costs).all(), costs
+        assert np.isfinite(params.X).all()
+        print(f"BA_COST0 {costs[0]:.8e} BA_COSTN {costs[-1]:.8e}")
+
     print(f"OK process {idx}/{cnt} devices {n_dev} sum {float(total)}")
     return 0
 

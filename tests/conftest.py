@@ -68,9 +68,11 @@ QUICK_TESTS = {
     "test_sfm_geometry.py::test_essential_pipeline",  # two-view geometry
     "test_pnp_posegraph.py::test_pnp_refine_converges",
     "test_ba.py::test_ba_converges",                  # LM/Schur BA
-    # VO: the e2e vo_step jit costs ~140 s of CPU compile alone, which blows
-    # the lane budget — quick covers the VO matching gates; vo_step e2e
-    # stays in the full suite and is exercised by bench.py on every round.
+    # VO: the production-capacity vo_step jit costs ~140 s of CPU compile,
+    # which blows the lane budget — quick runs the tiny-capacity e2e
+    # (window=3, 32 pts, 96^2: ~55 s total) plus the matching gates; the
+    # full-capacity vo_step stays in the full suite and bench.py.
+    "test_vo.py::test_vo_step_quick",
     "test_vo.py::test_match_xy_radius_gating",
     "test_video.py::test_frames_mesh",                # DP sharding
     "test_spatial.py::test_sharded_scale_space_matches_single_device",  # TP

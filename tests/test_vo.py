@@ -59,6 +59,41 @@ def test_vo_tracks_translation():
     assert int(st.frame) == 4
 
 
+def test_vo_step_quick():
+    """Quick-lane vo_step e2e (VERDICT r4 #8): the flagship fused step at
+    tiny capacities (3-frame window, 32 pts/frame, 128-cap SIFT, 96^2
+    frames) so the compile fits the <=5-min quick lane's budget while still
+    exercising every vo_step stage end-to-end — detect, map match, PnP,
+    window roll, spawn, deferred depth refresh, windowed BA."""
+    from sift_pyocl_tpu.utils.testimage import blob_cloud, render_point_cloud
+
+    H, W = 96, 96
+    K = [[140.0, 0, W / 2], [0, 140.0, H / 2], [0, 0, 1.0]]
+    pts, radii, amps = blob_cloud(n=70, seed=2, depth=(3.5, 8.0), span=3.5)
+    I3 = np.eye(3, dtype=np.float32)
+
+    def frame_at(i):
+        c = np.array([0.12 * i, 0.0, 0.0], np.float32)
+        return jnp.asarray(
+            render_point_cloud(pts, radii, amps, K, I3, -c, (H, W)))
+
+    cfg = SiftConfig(kp_per_octave_cap=128)
+    vo = VOConfig(window=3, pts_per_frame=32, obs_per_frame=64,
+                  pnp_n=32, pnp_iters=3, cg_iters=3, min_track_matches=8)
+    Kj = jnp.asarray(K, jnp.float32)
+    st = vo_init(frame_at(0), Kj, cfg, vo)
+    for i in range(1, 4):
+        st, out = vo_step(st, frame_at(i), Kj, cfg, vo)
+        assert bool(out.tracked), f"lost tracking at tiny frame {i}"
+        assert np.isfinite(float(out.rms_px))
+        assert np.isfinite(np.asarray(out.t)).all()
+    assert st.X.shape == (3, 32, 3)
+    assert int(st.frame) == 4
+    assert np.isfinite(np.asarray(st.X)).all()
+    # some motion along +x must be recovered (sign/scale are prior-limited)
+    assert abs(float(st.ts[-1][0])) > 1e-3
+
+
 def test_match_xy_radius_gating():
     from sift_pyocl_tpu.ops.match import match_descriptors_jax
 
