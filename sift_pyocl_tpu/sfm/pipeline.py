@@ -1,29 +1,45 @@
 """Incremental SfM over an image sequence (BASELINE.json config 4:
 two-view init + sequential registration + pose graph + bundle adjustment).
 
-Host-orchestrated over jitted kernels: the SIFT frontend, matcher, RANSAC,
-PnP and BA all run on device with static shapes; the host keeps the growing
-map (points, descriptors, observation table) in NumPy and pads device inputs
-to power-of-two buckets so jit recompiles O(log) times as the map grows.
+Two registration architectures share the host-side map bookkeeping:
 
-New subsystem — no reference counterpart (SURVEY.md §2.3).
+  * FUSED (default, round 5): one jitted program per frame does the entire
+    registration — detect_and_describe -> map matching -> RANSAC-PnP ->
+    new-point triangulation + reprojection gating — and returns packed
+    results in three arrays, so a frame costs ~1 dispatch + 3 fetches
+    through the device tunnel instead of ~100 dispatches.  This is the
+    architecture `models/vo.py::vo_step` proved at 7.5 ms/frame; config 4's
+    round-4 number (8.9 s/frame wall) was pure tunnel RTT from the
+    host-driven loop below.
+  * HOST (legacy, kept for A/B): host-orchestrated over individually jitted
+    kernels, padding device inputs per call.
+
+In both, the host keeps the growing map (points, descriptors, observation
+table) in NumPy and pads device inputs to power-of-two buckets so jit
+recompiles O(log) times as the map grows.
+
+New subsystem — no reference counterpart (SURVEY.md §2.3; the reference's
+mid-pipeline host-return in sift-src/alignment.py::LinearAlign.align is the
+anti-pattern the fused path eliminates).
 """
 
 from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
+from functools import partial
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..config import SiftConfig
-from ..models.sift import SiftPlan
-from ..ops.match import match_descriptors_jax
+from ..models.sift import SiftPlan, detect_and_describe
+from ..ops.match import match_descriptors_dense, match_descriptors_jax
 from .ba import BAObs, BAParams, run_ba
-from .geometry import pose_compose
+from .geometry import pose_compose, project, triangulate_two_view
 from .pnp import ransac_pnp
 from .twoview import initialize_two_view
 
@@ -42,6 +58,104 @@ def _pow2_pad(n: int, floor: int = 256) -> int:
     while p < n:
         p *= 2
     return p
+
+
+@partial(jax.jit, static_argnames=("cfg", "new_cap", "ratio_sq",
+                                   "reproj_px", "metric"))
+def register_frame_fused(
+    frame: jnp.ndarray,        # (H, W) f32
+    key: jax.Array,
+    map_desc: jnp.ndarray,     # (P, 128) u8 — padded map bucket
+    map_valid: jnp.ndarray,    # (P,) bool   (host-side match window applied)
+    map_X: jnp.ndarray,        # (P, 3) f32
+    prev_desc: jnp.ndarray,    # (N, 128) u8 — previous REGISTERED frame's buf
+    prev_uv: jnp.ndarray,      # (N, 2) f32
+    prev_valid: jnp.ndarray,   # (N,) bool
+    R_prev_cam: jnp.ndarray,   # (3,3) that frame's current camera pose
+    t_prev_cam: jnp.ndarray,   # (3,)
+    R0: jnp.ndarray,           # (3,3) PnP init (last registered pose)
+    t0: jnp.ndarray,           # (3,)
+    K: jnp.ndarray,
+    cfg: SiftConfig,
+    new_cap: int = 256,
+    ratio_sq: float = 0.7,
+    reproj_px: float = 3.0,
+    metric: str = "L2",
+):
+    """One fused SfM registration: detect -> map match -> RANSAC-PnP ->
+    triangulate new landmarks, all on device (VERDICT r4 #1).
+
+    Output packing keeps the host round-trips to three fetches:
+      head   (16,) f32          — R(9), t(3), n_inl, n_match, pad(2)
+      rows   (P + new_cap, 8)   — map rows [keep, inl, u, v, 0...]; then
+                                  new-point rows [ok, X(3), uv_prev(2),
+                                  uv_cur(2)]
+      descs  (P + new_cap, 128) — matched-keypoint desc per map row (for
+                                  host-side descriptor refresh of inliers);
+                                  then new-point descriptors
+      bufs   desc/uv/valid of this frame's detection, left ON DEVICE for the
+             next frame's triangulation and end-of-run loop closure.
+    """
+    P = map_desc.shape[0]
+    buf = detect_and_describe(frame, cfg)
+    kp_uv = jnp.stack([buf.x, buf.y], axis=-1)
+    N = buf.desc.shape[0]
+
+    # 1. map -> keypoint matching (map points are the queries — the same
+    # direction the host pipeline used, so ratio-test semantics carry over)
+    keep, mid, _d, _d2 = match_descriptors_dense(
+        map_desc, map_valid, buf.desc, buf.valid,
+        metric=metric, ratio_sq=ratio_sq,
+    )
+    n_match = jnp.sum(keep.astype(jnp.int32))
+
+    # 2. robust pose from the 2D-3D matches
+    uv_m = kp_uv[mid]
+    R, t, inl, n_inl = ransac_pnp(
+        key, K, R0, t0, map_X, uv_m, keep.astype(jnp.float32),
+        thresh_px=reproj_px,
+    )
+
+    # 3. new-landmark candidates: previous registered frame's keypoints
+    # matched to CURRENT keypoints that no map match claimed
+    pk, pidx, _pd, _pd2 = match_descriptors_dense(
+        prev_desc, prev_valid, buf.desc, buf.valid,
+        metric=metric, ratio_sq=ratio_sq,
+    )
+    used_kp = jnp.zeros((N,), jnp.bool_).at[mid].max(keep)
+    cur_uv = kp_uv[pidx]
+    Xn, z1, z2 = triangulate_two_view(
+        K, R_prev_cam, t_prev_cam, K, R, t, prev_uv, cur_uv
+    )
+    pa, _ = project(K, R_prev_cam, t_prev_cam, Xn)
+    pb, _ = project(K, R, t, Xn)
+    ea2 = jnp.sum((pa - prev_uv) ** 2, axis=-1)
+    eb2 = jnp.sum((pb - cur_uv) ** 2, axis=-1)
+    thr2 = jnp.float32(reproj_px) ** 2
+    tri_ok = (
+        pk & ~used_kp[pidx]
+        & (z1 > 1e-3) & (z2 > 1e-3) & (ea2 < thr2) & (eb2 < thr2)
+    )
+    score = jnp.where(tri_ok, buf.scale[pidx], -jnp.inf)
+    new_cap = min(new_cap, score.shape[0])   # static clamp for tiny frames
+    _, nsel = lax.top_k(score, new_cap)
+    nok = tri_ok[nsel].astype(jnp.float32)
+
+    head = jnp.concatenate([
+        R.reshape(-1), t,
+        jnp.stack([n_inl.astype(jnp.float32), n_match.astype(jnp.float32),
+                   jnp.float32(0), jnp.float32(0)]),
+    ])
+    rows_map = jnp.concatenate([
+        keep.astype(jnp.float32)[:, None], inl.astype(jnp.float32)[:, None],
+        uv_m, jnp.zeros((P, 4), jnp.float32),
+    ], axis=-1)
+    rows_new = jnp.concatenate([
+        nok[:, None], Xn[nsel], prev_uv[nsel], cur_uv[nsel],
+    ], axis=-1)
+    rows = jnp.concatenate([rows_map, rows_new], axis=0)
+    descs = jnp.concatenate([buf.desc[mid], buf.desc[pidx][nsel]], axis=0)
+    return head, rows, descs, (buf.desc, kp_uv, buf.valid)
 
 
 @dataclass
@@ -72,6 +186,9 @@ class IncrementalSfM:
         loop_min_inliers: int = 15,
         map_match_window: Optional[int] = None,
         reloc_fallback: bool = True,
+        fused: bool = True,
+        new_cap: int = 256,
+        match_metric: str = "L1",
     ):
         self.K = np.asarray(K, np.float32)
         self.cfg = cfg or SiftConfig()
@@ -96,6 +213,16 @@ class IncrementalSfM:
         self.map_match_window = map_match_window
         # full-map retry when the windowed match starves (revisits)
         self.reloc_fallback = reloc_fallback
+        # fused per-frame registration (round 5): one jitted program per
+        # frame instead of ~100 host-driven dispatches; `False` keeps the
+        # legacy host loop for A/B
+        self.fused = fused
+        self.new_cap = new_cap
+        # "L1" = the reference parity metric the host loop's
+        # match_descriptors_jax default uses (match sets carry over exactly);
+        # "L2" ranks by squared euclidean on the MXU (near-identical sets,
+        # rare near-tie flips)
+        self.match_metric = match_metric
         self.n_loop_edges = 0
 
     def _next_key(self):
@@ -122,14 +249,20 @@ class IncrementalSfM:
         return np.stack([np.asarray(res.idx1)[m], np.asarray(res.idx2)[m]], 1)
 
     def run(self, frames, verbose: bool = False) -> Optional[SfMResult]:
-        F = len(frames)
-        kps = [self.sift.keypoints(np.asarray(f)) for f in frames]
-        K = jnp.asarray(self.K)
+        if self.fused:
+            return self._run_fused(frames, verbose)
+        return self._run_host(frames, verbose)
 
-        # --- bootstrap: frame 0 against the best-baseline frame ---
-        # prefer the first frame meeting both gates (enough inliers AND enough
-        # parallax); if none does, fall back to the candidate maximizing
-        # inliers * flow (baseline-vs-coverage tradeoff)
+    def _bootstrap(self, kps, F):
+        """Bootstrap pair selection: frame 0 against the best-baseline frame.
+
+        Prefers the first frame meeting both gates (enough inliers AND
+        enough parallax); if none does, falls back to the candidate
+        maximizing inliers * flow (baseline-vs-coverage tradeoff).
+        `kps` is anything indexable by frame id yielding dicts/recarrays
+        with "x"/"y"/"desc" (eager list in the host path, lazy detector in
+        the fused path)."""
+        K = jnp.asarray(self.K)
         boot = None
         fallback = None
         fallback_score = 0.0
@@ -160,13 +293,11 @@ class IncrementalSfM:
                 fallback_score = score
         if boot is None:
             boot = fallback
-        if boot is None:
-            return None
-        b, m, uv0, uvb, init = boot
-        _say(verbose, "bootstrap: frames (0, %d), %d inliers",
-             b, int(init.n_inliers))
+        return boot
 
-        # --- map state (host) ---
+    def _init_map_state(self, kps, boot):
+        """Host-side map/obs state from the accepted bootstrap pair."""
+        b, m, uv0, uvb, init = boot
         inl = np.asarray(init.inliers)[: len(m)]
         map_X = np.asarray(init.points)[: len(m)][inl].astype(np.float32)
         map_desc = kps[0]["desc"][m[inl, 0]]
@@ -183,6 +314,23 @@ class IncrementalSfM:
         ts = [np.zeros(3, np.float32), np.asarray(init.t, np.float32)]
         frames_reg = [0, b]
         pt_first_cam = np.zeros(len(map_X), np.int32)  # all bootstrap points
+        return (map_X, map_desc, obs_cam, obs_pt, obs_uv, cam_of_frame,
+                Rs, ts, frames_reg, pt_first_cam)
+
+    def _run_host(self, frames, verbose: bool = False) -> Optional[SfMResult]:
+        """Legacy host-orchestrated registration loop (kept for A/B against
+        the fused path; ~100 device dispatches per frame)."""
+        F = len(frames)
+        kps = [self.sift.keypoints(np.asarray(f)) for f in frames]
+        K = jnp.asarray(self.K)
+        boot = self._bootstrap(kps, F)
+        if boot is None:
+            return None
+        b, m, uv0, uvb, init = boot
+        _say(verbose, "bootstrap: frames (0, %d), %d inliers",
+             b, int(init.n_inliers))
+        (map_X, map_desc, obs_cam, obs_pt, obs_uv, cam_of_frame,
+         Rs, ts, frames_reg, pt_first_cam) = self._init_map_state(kps, boot)
 
         # --- sequential registration of the remaining frames ---
         order = [f for f in range(1, F) if f != b]
@@ -278,6 +426,168 @@ class IncrementalSfM:
 
         # --- final global BA ---
         Rs, ts, map_X = self._run_ba(Rs, ts, map_X, obs_cam, obs_pt, obs_uv, iters=25)
+        return SfMResult(
+            Rs=np.stack(Rs), ts=np.stack(ts), points=map_X,
+            n_obs=len(obs_cam), frames_registered=frames_reg,
+        )
+
+    # -- fused registration (round 5) ----------------------------------------
+
+    def _kp_np(self, f):
+        """Compacted host-side keypoints of frame f from its device buffer
+        (detect-on-demand; dict with the recarray field names the bootstrap
+        helper indexes)."""
+        if f not in self._kps_cache:
+            desc, uv, valid = self._buf(f)
+            m = np.asarray(valid)
+            uvh = np.asarray(uv)[m]
+            self._kps_cache[f] = {
+                "x": uvh[:, 0], "y": uvh[:, 1],
+                "desc": np.asarray(desc)[m],
+            }
+        return self._kps_cache[f]
+
+    def _buf(self, f):
+        """Device-resident (desc, uv, valid) slot buffers of frame f."""
+        if f not in self._bufs:
+            b = self.sift.keypoints_raw(np.asarray(self._frames[f]))
+            self._bufs[f] = (b.desc, jnp.stack([b.x, b.y], -1), b.valid)
+        return self._bufs[f]
+
+    class _LazyKps:
+        def __init__(self, sfm):
+            self.sfm = sfm
+
+        def __getitem__(self, f):
+            return self.sfm._kp_np(f)
+
+    def _run_fused(self, frames, verbose: bool = False) -> Optional[SfMResult]:
+        F = len(frames)
+        self._frames = frames
+        self._bufs = {}
+        self._kps_cache = {}
+        kps = self._LazyKps(self)
+        K = jnp.asarray(self.K)
+        boot = self._bootstrap(kps, F)
+        if boot is None:
+            return None
+        b, m, uv0, uvb, init = boot
+        _say(verbose, "bootstrap: frames (0, %d), %d inliers",
+             b, int(init.n_inliers))
+        (map_X, map_desc, obs_cam, obs_pt, obs_uv, cam_of_frame,
+         Rs, ts, frames_reg, pt_first_cam) = self._init_map_state(kps, boot)
+
+        def fused_call(f, valid_rows):
+            """One fused registration dispatch; valid_rows masks the map
+            bucket (the host-side match window)."""
+            P = _pow2_pad(len(map_X))
+            md = np.zeros((P, 128), np.uint8)
+            md[: len(map_X)] = map_desc
+            mv = np.zeros(P, bool)
+            mv[: len(map_X)] = valid_rows
+            mX = np.zeros((P, 3), np.float32)
+            mX[: len(map_X)] = map_X
+            prev_f = frames_reg[-1]
+            pdesc, puv, pvalid = self._buf(prev_f)
+            ca = cam_of_frame[prev_f]
+            head, rows, descs, bufs = register_frame_fused(
+                jnp.asarray(np.asarray(frames[f], np.float32)),
+                self._next_key(),
+                jnp.asarray(md), jnp.asarray(mv), jnp.asarray(mX),
+                pdesc, puv, pvalid,
+                jnp.asarray(Rs[ca]), jnp.asarray(ts[ca]),
+                jnp.asarray(Rs[-1]), jnp.asarray(ts[-1]), K,
+                cfg=self.cfg, new_cap=self.new_cap,
+                ratio_sq=self.ratio_sq, reproj_px=self.reproj_px,
+                metric=self.match_metric,
+            )
+            return (np.asarray(head), np.asarray(rows), np.asarray(descs),
+                    bufs, P, ca)
+
+        for f in sorted(f for f in range(1, F) if f != b):
+            if self.map_match_window is not None:
+                lo = max(0, len(Rs) - self.map_match_window)
+                vrows = pt_first_cam >= lo
+            else:
+                vrows = np.ones(len(map_X), bool)
+            head, rows, descs, bufs, P, ca = fused_call(f, vrows)
+            n_match = int(head[13])
+            # relocalization fallback (r4): when windowed matching starves —
+            # typically a revisit overlapping OLD map points outside the
+            # window — retry against the full map rather than dropping the
+            # frame (one starved frame otherwise cascades)
+            if (n_match < 12 and self.map_match_window is not None
+                    and self.reloc_fallback and not vrows.all()):
+                head2, rows2, descs2, bufs2, P2, ca2 = fused_call(
+                    f, np.ones(len(map_X), bool))
+                if int(head2[13]) > n_match:
+                    _say(verbose,
+                         "frame %d: windowed match starved (%d), "
+                         "relocalizing vs full map (%d)",
+                         f, n_match, int(head2[13]))
+                    head, rows, descs, bufs, P, ca = (
+                        head2, rows2, descs2, bufs2, P2, ca2)
+                    n_match = int(head[13])
+            if n_match < 12:
+                _say(verbose, "frame %d: only %d map matches, skipped",
+                     f, n_match)
+                continue
+            n_inl = int(head[12])
+            if n_inl < 10:
+                _say(verbose, "frame %d: PnP failed (%d inliers)", f, n_inl)
+                continue
+            R = head[:9].reshape(3, 3).astype(np.float32)
+            t = head[9:12].astype(np.float32)
+            cam_id = len(Rs)
+            cam_of_frame[f] = cam_id
+            Rs.append(R)
+            ts.append(t)
+            frames_reg.append(f)
+            self._bufs[f] = bufs
+            # observations + descriptor refresh from the map-row pack
+            rmap = rows[: len(map_X)]
+            for pi in np.nonzero(rmap[:, 1] > 0)[0]:
+                obs_cam.append(cam_id)
+                obs_pt.append(int(pi))
+                obs_uv.append([float(rmap[pi, 2]), float(rmap[pi, 3])])
+                # refresh the map point's descriptor to the newest view so
+                # sequential matching tracks appearance drift
+                map_desc[pi] = descs[pi]
+            # new landmarks from the new-point pack (triangulated vs the
+            # previously registered frame = camera `ca`)
+            rnew = rows[P:]
+            dnew = descs[P:]
+            ok = rnew[:, 0] > 0
+            n_new = int(ok.sum())
+            if n_new:
+                base = len(map_X)
+                map_X = np.concatenate(
+                    [map_X, rnew[ok, 1:4].astype(np.float32)])
+                map_desc = np.concatenate([map_desc, dnew[ok]])
+                for k_, r_ in enumerate(rnew[ok]):
+                    obs_cam += [ca, cam_id]
+                    obs_pt += [base + k_, base + k_]
+                    obs_uv += [[float(r_[4]), float(r_[5])],
+                               [float(r_[6]), float(r_[7])]]
+                pt_first_cam = np.concatenate(
+                    [pt_first_cam, np.full(n_new, ca, np.int32)])
+            # periodic BA
+            if len(Rs) % self.ba_every == 0:
+                Rs, ts, map_X = self._run_ba(
+                    Rs, ts, map_X, obs_cam, obs_pt, obs_uv)
+            _say(verbose, "frame %d: cam %d, %d PnP inliers, map %d",
+                 f, cam_id, n_inl, len(map_X))
+
+        # --- loop closure + pose graph (BASELINE config 4) ---
+        if self.loop_closure and len(Rs) > 3:
+            Rs, ts, map_X = self._pose_graph_close(
+                kps, frames_reg, cam_of_frame, Rs, ts,
+                map_X, map_desc, pt_first_cam, verbose,
+            )
+
+        # --- final global BA ---
+        Rs, ts, map_X = self._run_ba(
+            Rs, ts, map_X, obs_cam, obs_pt, obs_uv, iters=25)
         return SfMResult(
             Rs=np.stack(Rs), ts=np.stack(ts), points=map_X,
             n_obs=len(obs_cam), frames_registered=frames_reg,
