@@ -203,6 +203,51 @@ def test_invariance(scene_and_kp, plan, name, angle, zoom, tilt, noise,
 
 
 @pytest.mark.slow
+def test_zoom_out_double_im_size_recovers(plan):
+    """Regression fence for the zoom-axis diagnosis (PARITY.md, r5): the
+    0.5x zoom-out repeatability deficit is a representable-scale-floor
+    issue, and detecting the ZOOMED-OUT image with `double_im_size=True`
+    (the reference's par.DoubleImSize remedy — adds the -1 octave) must
+    keep recovering it: measured 0.707 -> 0.880 repeatability and
+    39 -> 53 matches on the calibration scene (tools/diag_zoom.py)."""
+    from sift_pyocl_tpu import SiftConfig
+
+    img = synthetic_scene(SHAPE, n_blobs=90, seed=7)
+    kp0 = plan.keypoints(img)
+    plan_d = SiftPlan(SHAPE, "float32",
+                      config=SiftConfig(double_im_size=True))
+    A, b = _forward_affine(0.0, 0.5, SHAPE)
+    warped = _warp(img, A, b)
+    kp1 = plan_d.keypoints(warped)
+
+    p0 = _kp_rc(kp0)
+    p1 = _kp_rc(kp1)
+    mapped = p0 @ A.T + b
+    h, w = SHAPE
+    inside = ((mapped[:, 0] > MARGIN) & (mapped[:, 0] < h - 1 - MARGIN)
+              & (mapped[:, 1] > MARGIN) & (mapped[:, 1] < w - 1 - MARGIN))
+    elig = np.where(inside)[0]
+    s0 = np.asarray(kp0["scale"])
+    s1 = np.asarray(kp1["scale"])
+    hits = 0
+    for i in elig:
+        d = np.hypot(p1[:, 0] - mapped[i, 0], p1[:, 1] - mapped[i, 1])
+        near = d < TOL_PX
+        if near.any():
+            ratio = s1[near] / max(s0[i] * 0.5, 1e-6)
+            if ((ratio < SCALE_BAND) & (ratio > 1.0 / SCALE_BAND)).any():
+                hits += 1
+    rep = hits / len(elig)
+    m = MatchPlan().match(kp0, kp1)
+    print(f"[invariance] double_im_size zoom_out: repeatability {rep:.3f} "
+          f"({hits}/{len(elig)}), matches {len(m)}")
+    # measured 0.880 / 53; frozen with ~15% margin (default-config floor
+    # for the same warp is 0.55 — the recovery must stay well above it)
+    assert rep >= 0.75, rep
+    assert len(m) >= 40, len(m)
+
+
+@pytest.mark.slow
 def test_rotation_rotates_keypoint_angles(scene_and_kp, plan):
     """Matched keypoints' orientations must rotate with the image (the
     orientation-assignment analog of repeatability)."""

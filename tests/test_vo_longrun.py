@@ -90,10 +90,16 @@ def test_vo_200_frame_stability():
     # failure class this test exists to catch (map depth draining through
     # biased low-parallax spawns; fixed by keyframe triangulation, deferred
     # depth refresh and carry-over recycling in models/vo.py) measured
-    # path_ratio 0.1-0.2 and ATE 0.39-0.41; the fixed code measures
-    # path_ratio 0.5-0.9 and ATE 0.26-0.35 across variants.  The path-ratio
-    # band is the sharp discriminator for collapse; the ATE bound (with
-    # margin over the measured band) catches gross drift.
+    # path_ratio 0.1-0.2 and ATE 0.39-0.41.  Re-calibrated r5 after the
+    # spawn-slot/dedup/parallax-store fixes with a knob sweep
+    # (tools/diag_longrun.py, 200 frames each): defaults seed 5/6 give
+    # ATE 0.288/0.257, path_ratio 0.69/0.50; ba_iters=2 -> 0.327/0.74;
+    # window=8 -> 0.260/0.64; metric_weight=5 -> 0.254/0.53.  Every knob
+    # lands inside the cross-seed noise band, so ATE ~0.25-0.33 is this
+    # monocular orbit's observability level, not a tunable deficiency;
+    # bounds are frozen just outside the measured band.  The path-ratio
+    # band is the sharp discriminator for collapse; the ATE bound catches
+    # gross drift.
     est = camera_centers(np.stack(Rs), np.stack(ts))
     gt = np.stack([center_at(i) for i in range(N_FRAMES)])
     assert np.isfinite(est).all()
@@ -103,10 +109,10 @@ def test_vo_200_frame_stability():
     path_ratio = path_est / path_gt
     print(f"[vo-longrun] tracked {frac:.3f}, ATE {ate:.4f}, "
           f"path_ratio {path_ratio:.2f} over {N_FRAMES} frames")
-    assert 0.35 < path_ratio < 2.5, (
+    assert 0.45 < path_ratio < 2.5, (
         f"path ratio {path_ratio:.2f}: trajectory scale collapsed/exploded"
     )
-    assert ate < 0.40, f"long-run ATE {ate:.3f} (drift)"
+    assert ate < 0.35, f"long-run ATE {ate:.3f} (drift)"
 
     # 3. no per-frame recompiles: the jitted vo_step executable count must
     # not grow after warmup (VOState dtypes/shapes stay fixed)
