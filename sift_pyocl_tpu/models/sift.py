@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -344,6 +344,20 @@ def detect_and_describe_batched(imgs: jnp.ndarray,
     )
 
 
+@lru_cache(maxsize=32)
+def _jitted_detector(cfg: SiftConfig):
+    """Process-wide jitted detector per config.
+
+    One jax.jit wrapper per SiftConfig (frozen dataclass, hashable) so
+    every SiftPlan with the same config shares one trace cache and one set
+    of compiled executables.  Before this, each plan instance owned its own
+    wrapper and re-TRACED the full detection graph (~30-60 s of host work
+    for the Pallas path) — measured as 91 s of a 117 s warm 50-frame SfM
+    run, since IncrementalSfM constructs a fresh SiftPlan per run.
+    """
+    return jax.jit(partial(detect_and_describe, cfg=cfg))
+
+
 class SiftPlan:
     """Compile-once SIFT plan (API parity with sift-src/plan.py::SiftPlan).
 
@@ -382,7 +396,7 @@ class SiftPlan:
         self.dtype = np.dtype(dtype)
         self.cfg = cfg
         self._check_memory()
-        self._fn = jax.jit(partial(detect_and_describe, cfg=cfg))
+        self._fn = _jitted_detector(cfg)
         # verbose memory/geometry report (reference: plan.py::_calc_memory
         # logs a device-memory breakdown at plan construction)
         logger.info(

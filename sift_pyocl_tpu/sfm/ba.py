@@ -397,18 +397,29 @@ def run_ba(
     cg_iters: int = 30,
     lam0: float = 1e-3,
     verbose: bool = False,
+    fetch_costs: bool = True,
 ):
-    """Host-driven LM loop (single device).  Returns (params, costs)."""
+    """Host-driven LM loop (single device).  Returns (params, costs).
+
+    fetch_costs=False skips the per-iteration host fetch of the cost
+    scalar: the iterations then pipeline as pure async dispatches with no
+    device->host sync between them (each sync costs a full tunnel RTT —
+    IncrementalSfM's periodic BA, which never reads the costs, runs this
+    way), and only the final cost is fetched."""
     C = params.Rs.shape[0]
     free = jnp.ones((C,), jnp.float32).at[jnp.array(fixed_cams)].set(0.0)
     lam = jnp.float32(lam0)
     costs = []
+    cost = None
     for it in range(iters):
         params, lam, cost, acc = lm_iteration(
             params, obs, K, lam, free,
             huber_px=huber_px, cg_iters=cg_iters, n_points=params.X.shape[0],
         )
-        costs.append(float(cost))
+        if fetch_costs:
+            costs.append(float(cost))
         if verbose:
             print(f"  LM it {it}: cost {float(cost):.4f} lam {float(lam):.2e} acc {bool(acc)}")
+    if not fetch_costs and cost is not None:
+        costs.append(float(cost))
     return params, costs

@@ -38,7 +38,6 @@ from jax import lax
 from ..config import SiftConfig
 from ..models.sift import SiftPlan, detect_and_describe
 from ..ops.match import match_descriptors_dense, match_descriptors_jax
-from .ba import BAObs, BAParams, run_ba
 from .geometry import pose_compose, project, triangulate_two_view
 from .pnp import ransac_pnp
 from .twoview import initialize_two_view
@@ -85,16 +84,14 @@ def register_frame_fused(
     """One fused SfM registration: detect -> map match -> RANSAC-PnP ->
     triangulate new landmarks, all on device (VERDICT r4 #1).
 
-    Output packing keeps the host round-trips to three fetches:
-      head   (16,) f32          — R(9), t(3), n_inl, n_match, pad(2)
-      rows   (P + new_cap, 8)   — map rows [keep, inl, u, v, 0...]; then
-                                  new-point rows [ok, X(3), uv_prev(2),
-                                  uv_cur(2)]
-      descs  (P + new_cap, 128) — matched-keypoint desc per map row (for
-                                  host-side descriptor refresh of inliers);
-                                  then new-point descriptors
-      bufs   desc/uv/valid of this frame's detection, left ON DEVICE for the
-             next frame's triangulation and end-of-run loop closure.
+    Output packing keeps the host round-trips to ONE fetch (every fetch is
+    a full tunnel RTT): a (1 + P + new_cap, 136) f32 array — row 0 is the
+    header [R(9), t(3), n_inl, n_match]; rows 1..P are map rows
+    [keep, inl, u, v, pad(4) | matched-kp desc(128), for host-side
+    descriptor refresh of inliers]; the rest are new-point rows
+    [ok, X(3), uv_prev(2), uv_cur(2) | desc(128)].  Also returns
+    desc/uv/valid of this frame's detection, left ON DEVICE for the next
+    frame's triangulation and end-of-run loop closure.
     """
     P = map_desc.shape[0]
     buf = detect_and_describe(frame, cfg)
@@ -141,10 +138,15 @@ def register_frame_fused(
     _, nsel = lax.top_k(score, new_cap)
     nok = tri_ok[nsel].astype(jnp.float32)
 
+    # ONE packed f32 output array: every device->host fetch is a full
+    # tunnel RTT (~0.1 s on this platform), so the per-frame results ride
+    # home in a single fetch.  Row 0 = header [R(9), t(3), n_inl, n_match];
+    # rows 1..P = map rows [keep, inl, u, v | desc(128)]; rows P+1.. =
+    # new-point rows [ok, X(3), uv_prev(2), uv_cur(2) | desc(128)].
+    # u8 descriptors are exact in f32 (0..255).
     head = jnp.concatenate([
         R.reshape(-1), t,
-        jnp.stack([n_inl.astype(jnp.float32), n_match.astype(jnp.float32),
-                   jnp.float32(0), jnp.float32(0)]),
+        jnp.stack([n_inl.astype(jnp.float32), n_match.astype(jnp.float32)]),
     ])
     rows_map = jnp.concatenate([
         keep.astype(jnp.float32)[:, None], inl.astype(jnp.float32)[:, None],
@@ -155,7 +157,57 @@ def register_frame_fused(
     ], axis=-1)
     rows = jnp.concatenate([rows_map, rows_new], axis=0)
     descs = jnp.concatenate([buf.desc[mid], buf.desc[pidx][nsel]], axis=0)
-    return head, rows, descs, (buf.desc, kp_uv, buf.valid)
+    packed = jnp.concatenate([
+        jnp.pad(head, (0, 136 - head.shape[0]))[None, :],
+        jnp.concatenate([rows, descs.astype(jnp.float32)], axis=1),
+    ], axis=0)                                    # (1 + P + new_cap, 136)
+    return packed, (buf.desc, kp_uv, buf.valid)
+
+
+@partial(jax.jit, static_argnames=("iters", "huber_px", "cg_iters"))
+def _ba_rounds_packed(Rs, ts, X, obs_pack, K, free, iters: int,
+                      huber_px: float, cg_iters: int):
+    """`iters` LM iterations in ONE dispatch with packed I/O.
+
+    Every host->device op through this platform's tunnel costs ~0.077 s
+    regardless of payload (measured r5), so the pipeline's periodic BA —
+    previously 12 lm_iteration dispatches + per-iteration cost fetches —
+    is folded into a single fori_loop program taking one packed obs array
+    [u, v, cam, pt, w] and returning one packed (P, 15) result
+    [Rs(9) | ts(3) rows 0..C | X(3)].  cam/pt ride in f32 exactly
+    (< 2^24).  Same math as sfm.ba.run_ba (lam0=1e-3, accept/reject LM).
+    """
+    from .ba import BAObs, BAParams, lm_iteration
+
+    obs = BAObs(uv=obs_pack[:, :2], cam=obs_pack[:, 2].astype(jnp.int32),
+                pt=obs_pack[:, 3].astype(jnp.int32), w=obs_pack[:, 4])
+    nP = X.shape[0]
+
+    def body(i, carry):
+        params, lam = carry
+        params, lam, _cost, _acc = lm_iteration(
+            params, obs, K, lam, free,
+            huber_px=huber_px, cg_iters=cg_iters, n_points=nP,
+        )
+        return (params, lam)
+
+    params, _lam = lax.fori_loop(
+        0, iters, body, (BAParams(Rs, ts, X), jnp.float32(1e-3)))
+    C = Rs.shape[0]
+    out = jnp.zeros((nP, 15), jnp.float32)
+    out = out.at[:C, :9].set(params.Rs.reshape(C, 9))
+    out = out.at[:C, 9:12].set(params.ts)
+    out = out.at[:, 12:15].set(params.X)
+    return out
+
+
+@jax.jit
+def _relative_poses_batched(Rs, ts):
+    """Consecutive-pair odometry edges Z_c = T_c * T_{c-1}^-1 in ONE
+    dispatch (the per-pair eager loop cost ~2 tunnel RTTs per camera)."""
+    from .posegraph import relative_pose
+
+    return jax.vmap(relative_pose)(Rs[:-1], ts[:-1], Rs[1:], ts[1:])
 
 
 @dataclass
@@ -263,9 +315,23 @@ class IncrementalSfM:
         with "x"/"y"/"desc" (eager list in the host path, lazy detector in
         the fused path)."""
         K = jnp.asarray(self.K)
+
+        def run_init(m, uv0, uvb):
+            n = _pow2_pad(len(m))
+            uv0p = np.zeros((n, 2), np.float32)
+            uv0p[: len(m)] = uv0
+            uvbp = np.zeros((n, 2), np.float32)
+            uvbp[: len(m)] = uvb
+            vp = np.arange(n) < len(m)
+            return initialize_two_view(
+                self._next_key(), K, jnp.asarray(uv0p), jnp.asarray(uvbp),
+                jnp.asarray(vp), thresh_px=self.reproj_px,
+            )
+
         boot = None
         fallback = None
         fallback_score = 0.0
+        low_flow = []   # candidates failing only the flow gate (fallback pool)
         for b in range(1, F):
             m = self._match(kps[0]["desc"], kps[b]["desc"])
             if len(m) < max(self.min_matches // 2, 10):
@@ -273,18 +339,18 @@ class IncrementalSfM:
             uv0 = np.stack([kps[0]["x"][m[:, 0]], kps[0]["y"][m[:, 0]]], 1)
             uvb = np.stack([kps[b]["x"][m[:, 1]], kps[b]["y"][m[:, 1]]], 1)
             flow = float(np.median(np.linalg.norm(uvb - uv0, axis=1)))
-            n = _pow2_pad(len(m))
-            uv0p = np.zeros((n, 2), np.float32)
-            uv0p[: len(m)] = uv0
-            uvbp = np.zeros((n, 2), np.float32)
-            uvbp[: len(m)] = uvb
-            vp = np.arange(n) < len(m)
-            init = initialize_two_view(
-                self._next_key(), K, jnp.asarray(uv0p), jnp.asarray(uvbp),
-                jnp.asarray(vp), thresh_px=self.reproj_px,
-            )
+            # flow gate FIRST (r5): flow needs only the match, so a
+            # candidate that cannot possibly boot (flow too small) skips
+            # the two-view init entirely — on slow-motion sequences the
+            # first ~15 candidates fail only this gate, and each skipped
+            # init saves a device round-trip.  Skipped candidates join the
+            # fallback pool evaluated below only if nothing boots.
+            if flow < self.min_boot_flow:
+                low_flow.append((b, m, uv0, uvb, flow))
+                continue
+            init = run_init(m, uv0, uvb)
             n_inl = int(init.n_inliers)
-            if n_inl >= self.min_matches and flow >= self.min_boot_flow:
+            if n_inl >= self.min_matches:
                 boot = (b, m, uv0, uvb, init)
                 break
             score = n_inl * flow
@@ -292,6 +358,16 @@ class IncrementalSfM:
                 fallback = (b, m, uv0, uvb, init)
                 fallback_score = score
         if boot is None:
+            # no candidate passed both gates: score the low-flow pool too
+            # (same inliers*flow criterion as before the reorder)
+            for b, m, uv0, uvb, flow in low_flow:
+                init = run_init(m, uv0, uvb)
+                n_inl = int(init.n_inliers)
+                score = n_inl * flow
+                if (n_inl >= max(self.min_matches // 2, 10)
+                        and score > fallback_score):
+                    fallback = (b, m, uv0, uvb, init)
+                    fallback_score = score
             boot = fallback
         return boot
 
@@ -462,13 +538,22 @@ class IncrementalSfM:
             return self.sfm._kp_np(f)
 
     def _run_fused(self, frames, verbose: bool = False) -> Optional[SfMResult]:
+        import time as _time
+
         F = len(frames)
         self._frames = frames
         self._bufs = {}
         self._kps_cache = {}
+        # wall-time breakdown (reference parity: plan.py::log_profile's
+        # per-stage report) — read self.phase_times after run()
+        pt = self.phase_times = {"bootstrap": 0.0, "register": 0.0,
+                                 "periodic_ba": 0.0, "loop_closure": 0.0,
+                                 "final_ba": 0.0}
+        t0 = _time.perf_counter()
         kps = self._LazyKps(self)
         K = jnp.asarray(self.K)
         boot = self._bootstrap(kps, F)
+        pt["bootstrap"] = _time.perf_counter() - t0
         if boot is None:
             return None
         b, m, uv0, uvb, init = boot
@@ -480,6 +565,7 @@ class IncrementalSfM:
         def fused_call(f, valid_rows):
             """One fused registration dispatch; valid_rows masks the map
             bucket (the host-side match window)."""
+            t0 = _time.perf_counter()
             P = _pow2_pad(len(map_X))
             md = np.zeros((P, 128), np.uint8)
             md[: len(map_X)] = map_desc
@@ -490,7 +576,7 @@ class IncrementalSfM:
             prev_f = frames_reg[-1]
             pdesc, puv, pvalid = self._buf(prev_f)
             ca = cam_of_frame[prev_f]
-            head, rows, descs, bufs = register_frame_fused(
+            packed, bufs = register_frame_fused(
                 jnp.asarray(np.asarray(frames[f], np.float32)),
                 self._next_key(),
                 jnp.asarray(md), jnp.asarray(mv), jnp.asarray(mX),
@@ -501,8 +587,10 @@ class IncrementalSfM:
                 ratio_sq=self.ratio_sq, reproj_px=self.reproj_px,
                 metric=self.match_metric,
             )
-            return (np.asarray(head), np.asarray(rows), np.asarray(descs),
-                    bufs, P, ca)
+            pk = np.asarray(packed)               # the ONE per-frame fetch
+            pt["register"] += _time.perf_counter() - t0
+            return (pk[0, :14], pk[1:, :8],
+                    pk[1:, 8:].astype(np.uint8), bufs, P, ca)
 
         for f in sorted(f for f in range(1, F) if f != b):
             if self.map_match_window is not None:
@@ -573,21 +661,27 @@ class IncrementalSfM:
                     [pt_first_cam, np.full(n_new, ca, np.int32)])
             # periodic BA
             if len(Rs) % self.ba_every == 0:
+                t0 = _time.perf_counter()
                 Rs, ts, map_X = self._run_ba(
                     Rs, ts, map_X, obs_cam, obs_pt, obs_uv)
+                pt["periodic_ba"] += _time.perf_counter() - t0
             _say(verbose, "frame %d: cam %d, %d PnP inliers, map %d",
                  f, cam_id, n_inl, len(map_X))
 
         # --- loop closure + pose graph (BASELINE config 4) ---
         if self.loop_closure and len(Rs) > 3:
+            t0 = _time.perf_counter()
             Rs, ts, map_X = self._pose_graph_close(
                 kps, frames_reg, cam_of_frame, Rs, ts,
                 map_X, map_desc, pt_first_cam, verbose,
             )
+            pt["loop_closure"] = _time.perf_counter() - t0
 
         # --- final global BA ---
+        t0 = _time.perf_counter()
         Rs, ts, map_X = self._run_ba(
             Rs, ts, map_X, obs_cam, obs_pt, obs_uv, iters=25)
+        pt["final_ba"] = _time.perf_counter() - t0
         return SfMResult(
             Rs=np.stack(Rs), ts=np.stack(ts), points=map_X,
             n_obs=len(obs_cam), frames_registered=frames_reg,
@@ -650,7 +744,7 @@ class IncrementalSfM:
         after sfm.posegraph.optimize_pose_graph, every map point is
         re-anchored through its first-observing camera's correction.
         """
-        from .posegraph import PoseGraph, optimize_pose_graph, relative_pose
+        from .posegraph import PoseGraph, optimize_pose_graph
         from .pnp import ransac_pnp
 
         C = len(Rs)
@@ -658,17 +752,15 @@ class IncrementalSfM:
         if old_mask.sum() < 20:
             return Rs, ts, map_X
         old_idx = np.nonzero(old_mask)[0]
-        ei, ej, eZR, eZt, ew = [], [], [], [], []
-        for c in range(1, C):
-            ZR, Zt = relative_pose(
-                jnp.asarray(Rs[c - 1]), jnp.asarray(ts[c - 1]),
-                jnp.asarray(Rs[c]), jnp.asarray(ts[c]),
-            )
-            ei.append(c - 1)
-            ej.append(c)
-            eZR.append(np.asarray(ZR))
-            eZt.append(np.asarray(Zt))
-            ew.append(1.0)
+        ZRs, Zts = _relative_poses_batched(
+            jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts)))
+        ZRs = np.asarray(ZRs)
+        Zts = np.asarray(Zts)
+        ei = list(range(C - 1))
+        ej = list(range(1, C))
+        eZR = [ZRs[c] for c in range(C - 1)]
+        eZt = [Zts[c] for c in range(C - 1)]
+        ew = [1.0] * (C - 1)
         K = jnp.asarray(self.K)
         n_lc = 0
         for f in frames_reg:
@@ -732,29 +824,29 @@ class IncrementalSfM:
         return [Rn[i] for i in range(C)], [tn[i] for i in range(C)], map_X
 
     def _run_ba(self, Rs, ts, map_X, obs_cam, obs_pt, obs_uv, iters: int = 12):
+        """All `iters` LM iterations in one dispatch, packed I/O (see
+        _ba_rounds_packed — per-op tunnel cost dominates at these sizes)."""
         C = len(Rs)
         P = len(map_X)
         M = len(obs_cam)
         Mp = _pow2_pad(M)
         Pp = _pow2_pad(P)
-        uv = np.zeros((Mp, 2), np.float32)
-        uv[:M] = np.asarray(obs_uv, np.float32)
-        cam = np.zeros(Mp, np.int32)
-        cam[:M] = obs_cam
-        pt = np.zeros(Mp, np.int32)
-        pt[:M] = obs_pt
-        w = np.zeros(Mp, np.float32)
-        w[:M] = 1.0
+        pack = np.zeros((Mp, 5), np.float32)
+        pack[:M, :2] = np.asarray(obs_uv, np.float32)
+        pack[:M, 2] = obs_cam
+        pack[:M, 3] = obs_pt
+        pack[:M, 4] = 1.0
         Xp = np.zeros((Pp, 3), np.float32)
         Xp[:P] = map_X
-        params = BAParams(
-            jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts)), jnp.asarray(Xp)
-        )
-        obs = BAObs(jnp.asarray(uv), jnp.asarray(cam), jnp.asarray(pt), jnp.asarray(w))
-        params, _ = run_ba(
-            params, obs, jnp.asarray(self.K), fixed_cams=(0,), iters=iters,
-            huber_px=self.reproj_px,
-        )
-        Rs = [np.asarray(params.Rs[i]) for i in range(C)]
-        ts = [np.asarray(params.ts[i]) for i in range(C)]
-        return Rs, ts, np.asarray(params.X[:P])
+        free = np.ones(C, np.float32)
+        free[0] = 0.0
+        if not hasattr(self, "_Kdev"):
+            self._Kdev = jnp.asarray(self.K)
+        out = np.asarray(_ba_rounds_packed(
+            jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts)),
+            jnp.asarray(Xp), jnp.asarray(pack), self._Kdev,
+            jnp.asarray(free), iters=iters, huber_px=self.reproj_px,
+            cg_iters=30))
+        Rs = [out[i, :9].reshape(3, 3).astype(np.float32) for i in range(C)]
+        ts = [out[i, 9:12].astype(np.float32) for i in range(C)]
+        return Rs, ts, out[:P, 12:15].astype(np.float32)

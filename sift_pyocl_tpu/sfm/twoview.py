@@ -7,6 +7,7 @@ model fit (SURVEY.md §3.4), but with a metric pose instead of an affine warp.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -30,6 +31,7 @@ class TwoViewInit(NamedTuple):
     n_inliers: jnp.ndarray  # () int32
 
 
+@partial(jax.jit, static_argnames=("thresh_px", "n_hypo", "min_parallax_deg"))
 def initialize_two_view(
     key: jax.Array,
     K: jnp.ndarray,
@@ -42,7 +44,9 @@ def initialize_two_view(
 ) -> TwoViewInit:
     """Essential RANSAC -> cheirality-tested pose -> triangulated structure.
 
-    All static shapes: outputs are (N,3)/(N,) with validity masks.
+    All static shapes: outputs are (N,3)/(N,) with validity masks.  Jitted
+    as ONE program (r5): called eagerly this chained ~25 individual device
+    dispatches at ~0.077 s tunnel RTT each — 2 s per bootstrap candidate.
     """
     f = 0.5 * (K[0, 0] + K[1, 1])
     xy1 = backproject(K, uv1)[:, :2]
