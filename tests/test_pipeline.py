@@ -1,6 +1,7 @@
 """End-to-end pipeline parity vs the oracle — the BASELINE.json config-1
 criterion at test scale (keypoint set parity; reference: test/test_all.py)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -8,6 +9,18 @@ from sift_pyocl_tpu import SiftPlan
 from sift_pyocl_tpu.oracle import sift_numpy
 
 from conftest import match_keypoint_sets
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """See tests/test_vo.py::_fresh_compile_state — XLA's native
+    backend_compile_and_load intermittently SEGFAULTS on a big compile
+    after ~100 other tests' executables accumulate in-process; r5 hit it
+    twice at exactly test_double_im_size_pallas_interpret's interpret-mode
+    detector compile in full-suite runs.  Dropping the accumulated caches
+    first dodges the native-state poisoning."""
+    jax.clear_caches()
+    yield
 
 
 @pytest.fixture(scope="module")

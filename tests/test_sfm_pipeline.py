@@ -2,6 +2,7 @@
 config 4 at test scale (two-view init + sequential PnP + triangulation + BA),
 judged by the ATE criterion of BASELINE.md."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -9,6 +10,18 @@ from sift_pyocl_tpu import SiftConfig
 from sift_pyocl_tpu.sfm.evaluate import ate_rmse, camera_centers
 from sift_pyocl_tpu.sfm.pipeline import IncrementalSfM
 from sift_pyocl_tpu.utils.render3d import render_sequence
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """See tests/test_vo.py::_fresh_compile_state — XLA's native
+    backend_compile_and_load intermittently SEGFAULTS compiling a big graph
+    after ~100 other tests' executables have accumulated in-process (hit
+    here in r5 on the detector compile inside the fused registration);
+    dropping the accumulated caches first dodges the native-state
+    poisoning at the cost of some recompiles."""
+    jax.clear_caches()
+    yield
 
 
 @pytest.mark.slow
