@@ -210,6 +210,25 @@ def _match_pairs_packed(d1, v1, d2, v2, ratio_sq: float):
         [res.idx1, res.idx2, res.valid.astype(jnp.int32)], axis=1)
 
 
+@partial(jax.jit, static_argnames=("ratio_sq",))
+def _boot_probe_batched(d0, v0, uv0, descs, valids, uvs, ratio_sq: float):
+    """Bootstrap candidate probe for a CHUNK of frames in one dispatch:
+    per candidate, the ratio-match count against frame 0 and the median
+    matched displacement (the flow gate) — the two quantities the
+    bootstrap scan gates on before it spends host round trips on full
+    match materialization and two-view init.  L1 metric and slot-masked
+    queries give counts/flows identical to the host `_match` path."""
+
+    def one(desc_b, valid_b, uv_b):
+        keep, mid, _d, _d2 = match_descriptors_dense(
+            d0, v0, desc_b, valid_b, metric="L1", ratio_sq=ratio_sq)
+        disp = jnp.linalg.norm(uv_b[mid] - uv0, axis=-1)
+        flow = jnp.nanmedian(jnp.where(keep, disp, jnp.nan))
+        return jnp.stack([jnp.sum(keep.astype(jnp.float32)), flow])
+
+    return jax.vmap(one)(descs, valids, uvs)
+
+
 @partial(jax.jit, static_argnames=("ratio_sq", "metric", "thresh_px"))
 def _loop_probe_batched(keys, old_desc, old_valid, old_X,
                         descs, valids, uvs, R0s, t0s, K,
@@ -348,20 +367,7 @@ class IncrementalSfM:
         `kps` is anything indexable by frame id yielding dicts/recarrays
         with "x"/"y"/"desc" (eager list in the host path, lazy detector in
         the fused path)."""
-        K = jnp.asarray(self.K)
-
-        def run_init(m, uv0, uvb):
-            n = _pow2_pad(len(m))
-            uv0p = np.zeros((n, 2), np.float32)
-            uv0p[: len(m)] = uv0
-            uvbp = np.zeros((n, 2), np.float32)
-            uvbp[: len(m)] = uvb
-            vp = np.arange(n) < len(m)
-            return initialize_two_view(
-                self._next_key(), K, jnp.asarray(uv0p), jnp.asarray(uvbp),
-                jnp.asarray(vp), thresh_px=self.reproj_px,
-            )
-
+        run_init = self._run_two_view_init
         boot = None
         fallback = None
         fallback_score = 0.0
@@ -404,6 +410,19 @@ class IncrementalSfM:
                     fallback_score = score
             boot = fallback
         return boot
+
+    def _run_two_view_init(self, m, uv0, uvb):
+        """Pow2-padded essential-RANSAC two-view init on matched pairs."""
+        n = _pow2_pad(len(m))
+        uv0p = np.zeros((n, 2), np.float32)
+        uv0p[: len(m)] = uv0
+        uvbp = np.zeros((n, 2), np.float32)
+        uvbp[: len(m)] = uvb
+        vp = np.arange(n) < len(m)
+        return initialize_two_view(
+            self._next_key(), jnp.asarray(self.K), jnp.asarray(uv0p),
+            jnp.asarray(uvbp), jnp.asarray(vp), thresh_px=self.reproj_px,
+        )
 
     def _init_map_state(self, kps, boot):
         """Host-side map/obs state from the accepted bootstrap pair."""
@@ -571,6 +590,61 @@ class IncrementalSfM:
         def __getitem__(self, f):
             return self.sfm._kp_np(f)
 
+    def _bootstrap_fast(self, kps, F):
+        """Fused-path bootstrap: chunks of candidates are probed ON DEVICE
+        (`_boot_probe_batched`: match count + median flow per candidate in
+        one dispatch) so the two host-side gates run before any per-frame
+        match materialization or two-view init round trips.  Candidate
+        order, gates, fallback scoring and the returned tuple are identical
+        to `_bootstrap`."""
+        gate = max(self.min_matches // 2, 10)
+        d0, uv0v, v0 = self._buf(0)
+        fallback = None
+        fallback_score = 0.0
+        low_flow = []   # (b, flow) failing only the flow gate
+        cands = list(range(1, F))
+        CH = 8
+
+        def materialize(b):
+            m = self._match(kps[0]["desc"], kps[b]["desc"])
+            uv0 = np.stack([kps[0]["x"][m[:, 0]], kps[0]["y"][m[:, 0]]], 1)
+            uvb = np.stack([kps[b]["x"][m[:, 1]], kps[b]["y"][m[:, 1]]], 1)
+            return m, uv0, uvb
+
+        for ci in range(0, len(cands), CH):
+            chunk = cands[ci:ci + CH]
+            out = np.asarray(_boot_probe_batched(
+                d0, v0, uv0v,
+                jnp.stack([self._buf(b)[0] for b in chunk]),
+                jnp.stack([self._buf(b)[2] for b in chunk]),
+                jnp.stack([self._buf(b)[1] for b in chunk]),
+                ratio_sq=self.ratio_sq))
+            for b, row in zip(chunk, out):
+                n_m, flow = int(row[0]), float(row[1])
+                if n_m < gate:
+                    continue
+                if not np.isfinite(flow) or flow < self.min_boot_flow:
+                    low_flow.append((b, flow))
+                    continue
+                m, uv0, uvb = materialize(b)
+                init = self._run_two_view_init(m, uv0, uvb)
+                n_inl = int(init.n_inliers)
+                if n_inl >= self.min_matches:
+                    return (b, m, uv0, uvb, init)
+                score = n_inl * flow
+                if n_inl >= gate and score > fallback_score:
+                    fallback = (b, m, uv0, uvb, init)
+                    fallback_score = score
+        for b, flow in low_flow:
+            m, uv0, uvb = materialize(b)
+            init = self._run_two_view_init(m, uv0, uvb)
+            n_inl = int(init.n_inliers)
+            score = n_inl * flow
+            if n_inl >= gate and score > fallback_score:
+                fallback = (b, m, uv0, uvb, init)
+                fallback_score = score
+        return fallback
+
     def _run_fused(self, frames, verbose: bool = False) -> Optional[SfMResult]:
         import time as _time
 
@@ -586,7 +660,7 @@ class IncrementalSfM:
         t0 = _time.perf_counter()
         kps = self._LazyKps(self)
         K = jnp.asarray(self.K)
-        boot = self._bootstrap(kps, F)
+        boot = self._bootstrap_fast(kps, F)
         pt["bootstrap"] = _time.perf_counter() - t0
         if boot is None:
             return None
